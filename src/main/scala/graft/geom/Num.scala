@@ -1,0 +1,81 @@
+package graft.geom
+
+/** Shortest-round-trip double formatting.
+  *
+  * The reference emits floats through two distinct channels whose formats are
+  * load-bearing for golden output parity (reference `tests/cli_test.rs:62-98`):
+  *  - Rust `{}` Display (WKT bodies, distance TSV): shortest decimal string
+  *    that round-trips, integral values WITHOUT a trailing `.0`
+  *    (`POINT(34 12)`), and never exponent notation.
+  *  - serde_json / ryu (GeoJSON numbers): shortest round-trip, integral values
+  *    WITH a trailing `.0` (`[34.0,12.0]`).
+  *
+  * JDK 17 `Double.toString` is round-trip-safe but not always shortest and
+  * switches to exponent notation outside [1e-3, 1e7), so we derive the
+  * shortest digit string ourselves: smallest precision p in 1..17 such that
+  * `%.{p-1}e` parses back to the same bits.
+  */
+object Num {
+  /** (digits, decimalExponent) such that value = 0.d1d2... * 10^exp, i.e.
+    * digits with an implied decimal point before the first digit.
+    */
+  private def shortest(d: Double): (String, Int) = {
+    var p = 1
+    while (p <= 17) {
+      val s = String.format("%." + (p - 1) + "e", Double.box(d))
+      if (java.lang.Double.parseDouble(s) == d) {
+        val ei = s.indexOf('e')
+        val mant = s.substring(0, ei).replace("-", "").replace(".", "")
+        // strip trailing zeros the %e padding may have added
+        val trimmed = {
+          val t = mant.reverse.dropWhile(_ == '0').reverse
+          if (t.isEmpty) "0" else t
+        }
+        val exp = s.substring(ei + 1).toInt + 1
+        return (trimmed, exp)
+      }
+      p += 1
+    }
+    ("0", 1) // unreachable for finite doubles
+  }
+
+  private def plain(digits: String, exp: Int, neg: Boolean, forceDot: Boolean): String = {
+    val sb = new StringBuilder
+    if (neg) sb.append('-')
+    if (digits == "0") {
+      sb.append(if (forceDot) "0.0" else "0")
+      return sb.toString
+    }
+    if (exp <= 0) {
+      sb.append("0.")
+      var i = exp
+      while (i < 0) { sb.append('0'); i += 1 }
+      sb.append(digits)
+    } else if (exp >= digits.length) {
+      sb.append(digits)
+      var i = digits.length
+      while (i < exp) { sb.append('0'); i += 1 }
+      if (forceDot) sb.append(".0")
+    } else {
+      sb.append(digits.substring(0, exp)).append('.').append(digits.substring(exp))
+    }
+    sb.toString
+  }
+
+  /** Rust `{}` style: `34`, `-119.53125`, `496760.9360151398`. */
+  def rust(d: Double): String = {
+    if (d.isNaN) return "NaN"
+    if (d.isInfinite) return if (d > 0) "inf" else "-inf"
+    if (d == 0.0) return if (1.0 / d < 0) "-0" else "0"
+    val (digits, exp) = shortest(math.abs(d))
+    plain(digits, exp, d < 0, forceDot = false)
+  }
+
+  /** serde_json style: `34.0`, `125.6`, `-119.53125`. */
+  def json(d: Double): String = {
+    if (d == 0.0) return if (1.0 / d < 0) "-0.0" else "0.0"
+    if (d.isNaN || d.isInfinite) return "null"
+    val (digits, exp) = shortest(math.abs(d))
+    plain(digits, exp, d < 0, forceDot = true)
+  }
+}

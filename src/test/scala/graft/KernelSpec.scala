@@ -1,0 +1,249 @@
+package graft
+
+import graft.core.Entity
+import graft.geom._
+import graft.index.{Geohash, Hilbert}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure-kernel goldens ported from the reference's test suite
+  * (`tests/cli_test.rs`, `src/geoq/entity.rs:213-401`, `src/geoq/input.rs:54-76`,
+  * `src/geoq/distance.rs:81-120`). No SparkSession needed.
+  */
+class KernelSpec extends AnyFunSuite {
+
+  // --- input sniffing (input.rs:54-76) ---
+  test("format detection priority and regexes") {
+    assert(Entity.detect("12,34").contains(Entity.LatLon))
+    assert(Entity.detect("12\t34").contains(Entity.LatLon))
+    assert(Entity.detect("9q5").contains(Entity.GeohashK))
+    assert(Entity.detect("862749967ffffff").contains(Entity.H3Cell))
+    assert(Entity.detect("8027ffffffffffff").contains(Entity.H3Cell))
+    assert(Entity.detect("8027fffffffff").contains(Entity.GeohashK)) // 13 hex → geohash
+    assert(Entity.detect("08027ffffffffffff").contains(Entity.H3Cell)) // leading 0 ok
+    assert(Entity.detect("{\"type\":\"Point\",\"coordinates\":[1,2]}").contains("geojson"))
+    assert(Entity.detect("LINESTRING (30 10, 10 30, 40 40)").contains(Entity.Wkt))
+    assert(Entity.detect("pizza").isEmpty)
+  }
+
+  // --- entity parse matrix (entity.rs:271-400) ---
+  test("latlon entity") {
+    val es = Entity.parseLine("12,34")
+    assert(es.map(_.raw) == Seq("12,34"))
+    assert(Geo.toWkt(es.head.geom) == "POINT(34 12)")
+    assert(Geo.geometryJsonString(es.head.geom) == "{\"coordinates\":[34.0,12.0],\"type\":\"Point\"}")
+    assert(Geo.featureJsonString(es.head.geom, es.head.props) ==
+      "{\"geometry\":{\"coordinates\":[34.0,12.0],\"type\":\"Point\"},\"properties\":{},\"type\":\"Feature\"}")
+  }
+
+  test("geohash entity bbox polygon") {
+    val es = Entity.parseLine("9q5")
+    assert(Geo.toWkt(es.head.geom) ==
+      "POLYGON((-119.53125 33.75,-118.125 33.75,-118.125 35.15625,-119.53125 35.15625,-119.53125 33.75))")
+    assert(Geo.geometryJsonString(es.head.geom) ==
+      "{\"coordinates\":[[[-119.53125,33.75],[-118.125,33.75],[-118.125,35.15625],[-119.53125,35.15625],[-119.53125,33.75]]],\"type\":\"Polygon\"}")
+  }
+
+  test("wkt entity: raw is canonical re-serialization") {
+    val es = Entity.parseLine("LINESTRING (30 10, 10 30, 40 40)")
+    assert(es.map(_.raw) == Seq("LINESTRING(30 10,10 30,40 40)"))
+    assert(Geo.geometryJsonString(es.head.geom) ==
+      "{\"coordinates\":[[30.0,10.0],[10.0,30.0],[40.0,40.0]],\"type\":\"LineString\"}")
+  }
+
+  test("geojson geometry entity") {
+    val raw = "{\"type\": \"LineString\", \"coordinates\": [[-26.01, 59.17], [-15.46, 45.58], [0.35, 35.74]]}"
+    val es = Entity.parseLine(raw)
+    assert(es.map(_.raw) == Seq(raw)) // raw preserved verbatim
+    assert(Geo.toWkt(es.head.geom) == "LINESTRING(-26.01 59.17,-15.46 45.58,0.35 35.74)")
+    assert(Geo.geometryJsonString(es.head.geom) ==
+      "{\"coordinates\":[[-26.01,59.17],[-15.46,45.58],[0.35,35.74]],\"type\":\"LineString\"}")
+  }
+
+  test("geojson feature entity keeps properties") {
+    val raw = "{\"type\": \"Feature\", \"properties\": {\"pizza\": \"pie\"}, \"geometry\": {\"type\": \"LineString\", \"coordinates\": [[-26.01, 59.17], [-15.46, 45.58], [0.35, 35.74]]}}"
+    val es = Entity.parseLine(raw)
+    assert(Geo.featureJsonString(es.head.geom, es.head.props) ==
+      "{\"geometry\":{\"coordinates\":[[-26.01,59.17],[-15.46,45.58],[0.35,35.74]],\"type\":\"LineString\"},\"properties\":{\"pizza\":\"pie\"},\"type\":\"Feature\"}")
+  }
+
+  test("feature collection unwraps to members with canonical raw") {
+    val raw = """{"type":"FeatureCollection","features":[{"type":"Feature","properties":{"a":"b"},"geometry":{"type":"Point","coordinates":[34.0,12.0]}},{"type":"Feature","properties":{"c":1},"geometry":{"type":"Point","coordinates":[78.0,56.0]}}]}"""
+    val es = Entity.parseLine(raw)
+    assert(es.map(_.raw) == Seq(
+      "{\"geometry\":{\"coordinates\":[34.0,12.0],\"type\":\"Point\"},\"properties\":{\"a\":\"b\"},\"type\":\"Feature\"}",
+      "{\"geometry\":{\"coordinates\":[78.0,56.0],\"type\":\"Point\"},\"properties\":{\"c\":1},\"type\":\"Feature\"}"))
+    assert(es.map(e => Geo.toWkt(e.geom)) == Seq("POINT(34 12)", "POINT(78 56)"))
+  }
+
+  test("gj geom number round-trip edge case (cli_test.rs:491-500)") {
+    val raw = """{"coordinates":[[[-87.97874531338036,34.92420945798039],[-87.9785957342853,34.92418491767909],[-87.97857664070615,34.9242631544226],[-87.97872621980122,34.92428769470051],[-87.97874531338036,34.92420945798039]]],"type":"Polygon"}"""
+    val es = Entity.parseLine(raw)
+    assert(Geo.geometryJsonString(es.head.geom) == raw)
+  }
+
+  test("entity debug labels (cli_test.rs:6-26)") {
+    assert(Entity.parseLine("12,34").head.label == "LatLon: 12,34")
+    assert(Entity.parseLine("12\t34").head.label == "LatLon: 12\t34")
+    assert(Entity.parseLine("9q5").head.label == "Geohash: 9q5")
+    assert(Entity.parseLine("{\"type\":\"Point\",\"coordinates\":[125.6, 10.1]}").head.label ==
+      "GeoJSON Geometry: {\"type\":\"Point\",\"coordinates\":[125.6, 10.1]}")
+    assert(Entity.parseLine("LINESTRING (30 10, 10 30, 40 40)").head.label ==
+      "WKT: LINESTRING(30 10,10 30,40 40)")
+  }
+
+  // --- geohash kernel (cli_test.rs:155-291,718-758) ---
+  test("gh encode goldens") {
+    assert(Geohash.encode(12, 34, 7) == "sf0hm8w")
+    assert(Geohash.encode(34, -118, 7) == "9qh16ve")
+  }
+
+  test("gh children order") {
+    val kids = Geohash.children("9q5")
+    assert(kids.size == 32)
+    assert(kids.head == "9q50")
+    assert(kids(10) == "9q5b")
+    assert(kids.last == "9q5z")
+  }
+
+  test("gh neighbors golden order (9g3m)") {
+    assert(Geohash.neighbors("9g3m", includeSelf = true) ==
+      Seq("9g3m", "9g3q", "9g3w", "9g3t", "9g3s", "9g3k", "9g3h", "9g3j", "9g3n"))
+    assert(Geohash.neighbors("9g3m", includeSelf = false) ==
+      Seq("9g3q", "9g3w", "9g3t", "9g3s", "9g3k", "9g3h", "9g3j", "9g3n"))
+  }
+
+  test("gh covering golden: geohash 9q5 at level 3 (cli_test.rs:308-317)") {
+    val g = Entity.parseLine("9q5").head.geom
+    assert(Geohash.covering(g, 3) ==
+      Seq("9qk", "9qh", "9q7", "9q6", "9q5", "9q4", "9mu", "9mg", "9mf"))
+  }
+
+  test("gh covering golden: points (cli_test.rs:304-307,376-383)") {
+    assert(Geohash.covering(Entity.parseLine("12,34").head.geom, 3) == Seq("sf0"))
+    assert(Geohash.covering(Entity.parseLine("{\"type\":\"Point\",\"coordinates\":[125.6, 10.1]}").head.geom, 3) == Seq("wcc"))
+    assert(Geohash.covering(Geo.point(78.0, 56.0), 3) == Seq("v9z"))
+  }
+
+  test("gh covering golden: linestring level 3 (cli_test.rs:318-375)") {
+    val g = Entity.parseLine("LINESTRING (30 10, 10 30, 40 40)").head.geom
+    val expected = Seq("szh", "sz5", "syg", "syf", "syc", "syb", "sy8", "swx", "sww", "swt",
+      "swm", "swk", "sw7", "sw6", "sw4", "sw1", "sw0", "sqp", "smz", "smy", "smv", "smu",
+      "sms", "sme", "smd", "sm9", "sm3", "sm2", "sm0", "skh", "skd", "skc", "skb", "sk9",
+      "sk7", "sk6", "sk5", "sjr", "sjp", "se0", "sdh", "sdd", "sdc", "sdb", "sd9", "sd7",
+      "sd6", "sd5", "s9v", "s9u", "s7w", "s7v", "s7u", "s7t", "s7r", "s7q", "s7p")
+    assert(Geohash.covering(g, 3) == expected)
+  }
+
+  test("gh roots") {
+    assert(Geohash.BASE32.mkString == "0123456789bcdefghjkmnpqrstuvwxyz")
+  }
+
+  test("gh encode-long: 5 bits per char from LSB (geohash.rs:85-97)") {
+    // spot property: decode of encodeLong round-trips the low 60 bits
+    val x = 0x123456789abcdefL
+    val s = Geohash.encodeLong(x)
+    assert(s.length == 12)
+    val back = s.foldLeft(0L)((acc, c) => (acc << 5) | Geohash.BASE32.indexOf(c).toLong)
+    assert(back == (x & ((1L << 60) - 1)))
+  }
+
+  // --- vincenty (distance.rs:81-120) ---
+  test("vincenty LA to NY") {
+    val d = Vincenty.distance(-118.2437, 34.0522, -74.0060, 40.7128).get
+    assert(math.round(d) == 3944422L)
+  }
+
+  test("distance 0 for contained point") {
+    val poly = Geo.boxPolyBL(-119.53125, 33.75, -118.125, 35.15625)
+    val p = Geo.point(-118.2437, 34.0522)
+    assert(Relations.distance(p, poly).contains(0.0))
+  }
+
+  // --- filter predicate goldens (cli_test.rs:503-657) ---
+  test("filter intersects 9q5 golden decisions") {
+    val query = Entity.parseLine("9q5").head.geom
+    val in1 = Entity.parseLine("34.2277,-118.2623").head.geom
+    val in2 = Entity.parseLine("""{"type":"Polygon","coordinates":[[[-117.87231445312499,34.77997173591062],[-117.69653320312499,34.77997173591062],[-117.69653320312499,34.90170042871546],[-117.87231445312499,34.90170042871546],[-117.87231445312499,34.77997173591062]]]}""").head.geom
+    val in3 = Entity.parseLine("""{"type":"Polygon","coordinates":[[[-118.27880859375001,34.522398580663314],[-117.89154052734375,34.522398580663314],[-117.89154052734375,34.649025753526985],[-118.27880859375001,34.649025753526985],[-118.27880859375001,34.522398580663314]]]}""").head.geom
+    assert(query.intersects(in1))
+    assert(!query.intersects(in2))
+    assert(query.intersects(in3))
+  }
+
+  test("filter intersects linestring x linestring golden") {
+    val q = Entity.parseLine("""{"type":"Feature","properties":{},"geometry":{"type":"LineString","coordinates":[[21.4453125,30.44867367928756],[-1.40625,-9.79567758282973]]}}""").head.geom
+    val in = Entity.parseLine("""{"type":"Feature","properties":{},"geometry":{"type":"LineString","coordinates":[[-18.6328125,32.54681317351514],[33.75,-2.460181181020993]]}}""").head.geom
+    assert(q.intersects(in))
+  }
+
+  test("filter contains golden decisions (cli_test.rs:614-633)") {
+    val poly = Entity.parseLine("""{"type": "Polygon", "coordinates": [[[-50.185546875, 18.22935133838668], [-43.681640625, 18.22935133838668], [-43.681640625, 26.03704188651584], [-50.185546875, 26.03704188651584], [-50.185546875, 18.22935133838668]]]}""").head.geom.asInstanceOf[org.locationtech.jts.geom.Polygon]
+    val ls1 = Entity.parseLine("""{"type": "LineString", "coordinates": [[-44.2529296875, 25.3241665257384], [-42.802734375, 25.502784548755354]]}""").head.geom
+    val ls2 = Entity.parseLine("""{"type": "LineString", "coordinates": [[-45.41748046875, 24.186847428521244], [-45, 22.004174972902003]]}""").head.geom
+    val pt = Entity.parseLine("""{"type": "Point", "coordinates": [-47.4609375, 21.453068633086783]}""").head.geom
+    assert(!Relations.containsPoly(poly, ls1)) // partially outside
+    assert(Relations.containsPoly(poly, ls2))
+    assert(Relations.containsPoly(poly, pt))
+  }
+
+  // --- centroid golden (cli_test.rs:697-715) ---
+  test("centroid values") {
+    val ls = Entity.parseLine("""{"type": "LineString", "coordinates": [[-44.2529296875, 25.3241665257384], [-42.802734375, 25.502784548755354]]}""").head.geom
+    val c1 = ls.getCentroid
+    assert(math.abs(c1.getX - -43.52783203125) < 1e-12)
+    assert(math.abs(c1.getY - 25.413475537246875) < 1e-12)
+    val poly = Entity.parseLine("Polygon ((30 10, 10 30, 40 40, 30 10))").head.geom
+    val c2 = poly.getCentroid
+    assert(math.abs(c2.getX - 26.66666666666667) < 1e-9)
+    assert(math.abs(c2.getY - 26.66666666666667) < 1e-9)
+  }
+
+  // --- bbox semantics (bbox.rs) ---
+  test("bbox of geometry collection seeds with zero rect (bbox.rs:65-69)") {
+    val gc = Geo.factory.createGeometryCollection(Array(
+      Geo.point(10, 20): org.locationtech.jts.geom.Geometry))
+    assert(Geo.bbox(gc) == (0.0, 0.0, 10.0, 20.0)) // reference quirk
+  }
+
+  // --- number formatting ---
+  test("rust-style and json-style float formatting") {
+    assert(Num.rust(34.0) == "34")
+    assert(Num.rust(-119.53125) == "-119.53125")
+    assert(Num.rust(496760.9360151398) == "496760.9360151398")
+    assert(Num.json(34.0) == "34.0")
+    assert(Num.json(125.6) == "125.6")
+    assert(Num.json(-87.97874531338036) == "-87.97874531338036")
+    assert(Num.json(34.92428769470051) == "34.92428769470051")
+    assert(Num.rust(0.35) == "0.35")
+    assert(Num.json(0.35) == "0.35")
+    assert(Num.json(1e-7) == "0.0000001")
+  }
+
+  // --- hilbert curve (fgb/hilbert.rs:236-291) ---
+  test("hilbert curve basic properties") {
+    assert(Hilbert.hilbert(0, 0) == 0)
+    // d(1,0)=1 region: curve starts along one axis; just lock a few values
+    // as self-consistency anchors (the reference publishes no unit vectors;
+    // its own test documents divergence from the fgb crate).
+    val vals = Seq((0, 0), (1, 0), (1, 1), (0, 1)).map { case (x, y) => Hilbert.hilbertUnsigned(x, y) }
+    assert(vals.distinct.size == 4)
+    // locality: adjacent grid cells have nearby indices on average
+    assert(Hilbert.hilbertUnsigned(65535, 65535) <= 0xFFFFFFFFL)
+  }
+
+  // --- json munge heuristics will be covered in MungeSpec ---
+
+  test("wkt split handles multiple top-level geometries") {
+    assert(Entity.splitWkt("POINT(1 2)") == Seq("POINT(1 2)"))
+    val two = Entity.splitWkt("POINT(1 2) LINESTRING(0 0,1 1)")
+    assert(two == Seq("POINT(1 2)", "LINESTRING(0 0,1 1)"))
+    val gc = Entity.splitWkt("GEOMETRYCOLLECTION(POINT(1 2),LINESTRING(0 0,1 1))")
+    assert(gc.size == 1)
+  }
+
+  test("invalid wkt raises") {
+    intercept[graft.core.GeoqException] {
+      Entity.parseLine("Polygon ((30 10, 10 30, 40 40, 30 10)")
+    }
+  }
+}
