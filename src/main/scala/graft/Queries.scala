@@ -1,0 +1,408 @@
+package graft
+
+import graft.geom.{Geo, Vincenty}
+import graft.index.{Geohash, Hilbert}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The engine's verifiable query surface (driver contract).
+  *
+  * Input derivation: every geo query runs over deterministic points derived
+  * from `events.event_id` by multiplicative hashing — exact BIGINT math and
+  * a single exact division, so the DuckDB oracle reproduces the coordinates
+  * bit-for-bit (see OracleSql.PTS_CTE). Geometry/tiling decisions then flow
+  * through the engine's real kernels (Geohash/Hilbert/JTS/Vincenty) while
+  * the oracle recomputes them in pure SQL.
+  */
+object Queries {
+
+  // -- shared derived-point table (mirror of OracleSql.PTS_CTE) --
+  def pts(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet").select(
+      col("event_id").as("id"),
+      (lit(-90.0) + lit(180.0) *
+        (((col("event_id") * lit(2654435761L)) % lit(4294967296L)) / lit(4294967296.0))).as("lat"),
+      (lit(-180.0) + lit(360.0) *
+        (((col("event_id") * lit(2246822519L)) % lit(4294967296L)) / lit(4294967296.0))).as("lon"))
+
+  /** floor(((x + off) / ext) * 2^bits) clamped — identical op order to
+    * OracleSql.lonIdxSql/latIdxSql. */
+  def lonIdxCol(len: Int): Column = {
+    val cells = 1L << Geohash.lonBitsFor(len)
+    least(floor(((col("lon") + lit(180.0)) / lit(360.0)) * lit(cells.toDouble)), lit(cells - 1))
+  }
+  def latIdxCol(len: Int): Column = {
+    val cells = 1L << Geohash.latBitsFor(len)
+    least(floor(((col("lat") + lit(90.0)) / lit(180.0)) * lit(cells.toDouble)), lit(cells - 1))
+  }
+
+  private def ghUdf(len: Int) =
+    udf((lonIdx: Long, latIdx: Long) => Geohash.fromIndices(lonIdx, latIdx, len))
+
+  // ---------------- geo core ----------------
+
+  /** Canary: plain agg with exact double sums (l_quantity is integral). */
+  def q01Agg(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** gh point: cell encode at precision 5 (reference `gh point <level>`). */
+  def q02GhEncode(spark: SparkSession, dir: String): DataFrame =
+    pts(spark, dir)
+      .withColumn("gh", ghUdf(5)(lonIdxCol(5), latIdxCol(5)))
+      .select("id", "gh").orderBy("id")
+
+  /** gh children explode over the distinct level-3 tiles (reference
+    * `gh children`). */
+  def q03GhChildren(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pts(spark, dir)
+      .withColumn("gh", ghUdf(3)(lonIdxCol(3), latIdxCol(3)))
+      .select("gh").distinct()
+      .as[String]
+      .flatMap(gh => Geohash.children(gh).map(c => (gh, c)))
+      .toDF("gh", "child").orderBy("gh", "child")
+  }
+
+  /** gh neighbors via the table-based adjacency (reference `gh neighbors`);
+    * pole rows excluded (the reference panics there). */
+  def q04GhNeighbors(spark: SparkSession, dir: String): DataFrame = {
+    val latCells = 1L << Geohash.latBitsFor(5)
+    val nbrUdf = udf((gh: String) => {
+      val n = Geohash.neighbors(gh, includeSelf = false)
+      (n(0), n(1), n(2), n(3), n(4), n(5), n(6), n(7))
+    })
+    pts(spark, dir)
+      .withColumn("latidx", latIdxCol(5))
+      .filter(col("latidx") >= 1 && col("latidx") <= lit(latCells - 2))
+      .withColumn("gh", ghUdf(5)(lonIdxCol(5), col("latidx")))
+      .withColumn("nb", nbrUdf(col("gh")))
+      .select(col("id"), col("gh"),
+        col("nb._1").as("n"), col("nb._2").as("ne"), col("nb._3").as("e"),
+        col("nb._4").as("se"), col("nb._5").as("s"), col("nb._6").as("sw"),
+        col("nb._7").as("w"), col("nb._8").as("nw"))
+      .orderBy("id")
+  }
+
+  /** Tile assignment + per-tile counts (covering of a point = its cell;
+    * reference `gh covering` + tiling). */
+  def q05TileCounts(spark: SparkSession, dir: String): DataFrame =
+    pts(spark, dir)
+      .withColumn("tile", ghUdf(3)(lonIdxCol(3), latIdxCol(3)))
+      .groupBy("tile").agg(count(lit(1)).as("n_points"))
+      .orderBy("tile")
+
+  /** filter intersects against geohash cell 9 (lon [-135,-90], lat [0,45]) —
+    * real JTS predicate versus the oracle's range test (exact for
+    * axis-aligned cells). */
+  def q06FilterIntersects(spark: SparkSession, dir: String): DataFrame = {
+    val cellWkb = Geo.toWkb(Geohash.bboxPolygon("9"))
+    val hit = udf((lon: Double, lat: Double) =>
+      Geo.fromWkb(cellWkb).intersects(Geo.point(lon, lat)))
+    pts(spark, dir).filter(hit(col("lon"), col("lat"))).select("id").orderBy("id")
+  }
+
+  /** filter contains with the golden query polygon (strict interior,
+    * reference `filter contains`, `tests/cli_test.rs:614-633`). */
+  def q07FilterContains(spark: SparkSession, dir: String): DataFrame = {
+    val polyWkb = Geo.toWkb(Geo.boxPolyBL(-50.0, 0.0, 30.0, 50.0))
+    val hit = udf((lon: Double, lat: Double) =>
+      graft.geom.Relations.containsPoly(
+        Geo.fromWkb(polyWkb).asInstanceOf[org.locationtech.jts.geom.Polygon],
+        Geo.point(lon, lat)))
+    pts(spark, dir).filter(hit(col("lon"), col("lat"))).select("id").orderBy("id")
+  }
+
+  val DW_LON = -118.2437; val DW_LAT = 34.0522; val DW_RADIUS = 2000000.0
+
+  /** filter dwithin: keep points with Vincenty distance < 2,000 km of LA
+    * (reference `filter dwithin`); oracle unrolls the same fixed-iteration
+    * Vincenty. */
+  def q08Dwithin(spark: SparkSession, dir: String): DataFrame = {
+    val hit = udf((lon: Double, lat: Double) =>
+      Vincenty.distanceFixed(lon, lat, DW_LON, DW_LAT) < DW_RADIUS)
+    pts(spark, dir).filter(hit(col("lon"), col("lat"))).select("id").orderBy("id")
+  }
+
+  /** measure distance: whole meters to the LA query point. */
+  def q09MeasureDistance(spark: SparkSession, dir: String): DataFrame = {
+    val dist = udf((lon: Double, lat: Double) =>
+      math.round(Vincenty.distanceFixed(lon, lat, DW_LON, DW_LAT)))
+    pts(spark, dir)
+      .withColumn("meters", dist(col("lon"), col("lat")))
+      .select("id", "meters").orderBy("id")
+  }
+
+  /** bbox --all: 4-way min/max aggregation. */
+  def q10BboxAll(spark: SparkSession, dir: String): DataFrame =
+    pts(spark, dir).agg(
+      min("lon").as("minx"), min("lat").as("miny"),
+      max("lon").as("maxx"), max("lat").as("maxy"))
+
+  /** Hilbert spatial ordering (reference fgb hilbert sort): index each point
+    * on the u32 curve over the world extent; the engine's clustered-write
+    * order. */
+  def q11Hilbert(spark: SparkSession, dir: String): DataFrame = {
+    val h = udf((x: Long, y: Long) => Hilbert.hilbertUnsigned(x.toInt, y.toInt))
+    pts(spark, dir)
+      .withColumn("x", floor((lit(65535.0) * (col("lon") - lit(-180.0))) / lit(360.0)))
+      .withColumn("y", floor((lit(65535.0) * (col("lat") - lit(-90.0))) / lit(180.0)))
+      .withColumn("h", h(col("x"), col("y")))
+      .select("id", "h").orderBy("h", "id")
+  }
+
+  /** WKT writer through the engine formatter (integral coords so the oracle
+    * can string-build the exact same text). */
+  def q12WktPoint(spark: SparkSession, dir: String): DataFrame = {
+    val wkt = udf((lonI: Long, latI: Long) => Geo.toWkt(Geo.point(lonI.toDouble, latI.toDouble)))
+    pts(spark, dir)
+      .withColumn("loni", col("id") % 360 - 180)
+      .withColumn("lati", col("id") % 180 - 90)
+      .withColumn("wkt", wkt(col("loni"), col("lati")))
+      .select("id", "wkt").orderBy("id")
+  }
+
+  /** GeoJSON writer (canonical form, `.0` floats) on integral coords. */
+  def q13GjPoint(spark: SparkSession, dir: String): DataFrame = {
+    val gj = udf((lonI: Long, latI: Long) =>
+      Geo.geometryJsonString(Geo.point(lonI.toDouble, latI.toDouble)))
+    pts(spark, dir)
+      .withColumn("loni", col("id") % 360 - 180)
+      .withColumn("lati", col("id") % 180 - 90)
+      .withColumn("gj", gj(col("loni"), col("lati")))
+      .select("id", "gj").orderBy("id")
+  }
+
+  // ---------------- text / training-data pipeline ----------------
+
+  def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Whitespace token counting. */
+  def q14TokenCount(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+      .orderBy("doc_id")
+
+  /** Quality stats: integer char-class counts + integer-threshold flag. */
+  def q15TextStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      (length(col("text")) - length(regexp_replace(col("text"), "[^A-Za-z]", ""))).as("n_alpha"),
+      (length(col("text")) - length(regexp_replace(col("text"), " ", ""))).as("n_spaces"),
+      (length(col("text")) - length(regexp_replace(col("text"), "[^A-Z]", ""))).as("n_upper"),
+      ((length(col("text")) - length(regexp_replace(col("text"), "[^A-Za-z]", ""))) * 100 >=
+        length(col("text")) * 70).as("quality_ok"))
+      .orderBy("doc_id")
+
+  private val LANG_MARKERS: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " is "),
+    "de" -> Seq(" der ", " und ", " ist "),
+    "fr" -> Seq(" le ", " et ", " est "),
+    "es" -> Seq(" el ", " y ", " es "))
+
+  /** Language-ID heuristic: marker-word occurrence scores + argmax. */
+  def q16LangScores(spark: SparkSession, dir: String): DataFrame = {
+    val padded = concat(lit(" "), lower(col("text")), lit(" "))
+    // literal (non-regex) replace, same as the oracle's replace(); counts are
+    // exact ints, the final `/` is double division of exact ints in both
+    // engines (occurrences × |m| is divisible by |m| → integral double).
+    def score(markers: Seq[String]): Column =
+      markers.map { m =>
+        (length(padded) - length(call_function("replace", padded, lit(m)))) / lit(m.length)
+      }.reduce(_ + _)
+    val withScores = LANG_MARKERS.foldLeft(docs(spark, dir)) { case (df, (lang, ms)) =>
+      df.withColumn(s"s_$lang", score(ms))
+    }
+    val pred = when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") && col("s_en") >= col("s_es"), "en")
+      .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es"), "de")
+      .when(col("s_fr") >= col("s_es"), "fr")
+      .otherwise("es")
+    withScores.select(col("doc_id"), col("s_en"), col("s_de"), col("s_fr"), col("s_es"),
+      pred.as("pred")).orderBy("doc_id")
+  }
+
+  /** Exact dedup on a 32-char prefix key: hash-groupBy, keeper = min id. */
+  def q17DedupExact(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), md5(substring(col("text"), 1, 32)).as("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_dups"), min("doc_id").as("keeper"))
+      .orderBy("k")
+
+  // -- minhash family: 31-bit modular arithmetic shared with the oracle --
+  val MH_PRIME = 2147483647L
+  val MH_SHINGLE = 4
+  val MH_PREFIX = 256
+  /** (a, b) coefficient pairs; a < 2^20 keeps a*h < 2^51 (BIGINT-safe). */
+  val MH_COEF: Seq[(Long, Long)] = Seq(
+    (824633L, 1L), (624713L, 7237L), (553105L, 91023L), (982451L, 3571L),
+    (741809L, 29173L), (460811L, 60041L), (329401L, 83777L), (202409L, 11251L))
+
+  def shingleHashes(text: String): Array[Long] = {
+    val t = text.substring(0, math.min(text.length, MH_PREFIX)).toLowerCase
+    if (t.length < MH_SHINGLE) return Array(0L)
+    val out = new Array[Long](t.length - MH_SHINGLE + 1)
+    var i = 0
+    while (i + MH_SHINGLE <= t.length) {
+      var h = 0L
+      var k = 0
+      while (k < MH_SHINGLE) {
+        h = (h * 31L + t.charAt(i + k).toLong) % MH_PRIME
+        k += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    out
+  }
+
+  def minhashSig(text: String): Array[Long] = {
+    val hs = shingleHashes(text)
+    MH_COEF.map { case (a, b) =>
+      var m = Long.MaxValue
+      var i = 0
+      while (i < hs.length) {
+        val v = (a * hs(i) + b) % MH_PRIME
+        if (v < m) m = v
+        i += 1
+      }
+      m
+    }.toArray
+  }
+
+  /** MinHash signatures (k=8, 4-char shingles over the first 256 lowercased
+    * chars) — near-dup dedup building block. */
+  def q18MinhashSig(spark: SparkSession, dir: String): DataFrame = {
+    val sig = udf((text: String) => {
+      val s = minhashSig(text)
+      (s(0), s(1), s(2), s(3), s(4), s(5), s(6), s(7))
+    })
+    docs(spark, dir)
+      .withColumn("sig", sig(col("text")))
+      .select(col("doc_id"),
+        col("sig._1").as("m0"), col("sig._2").as("m1"), col("sig._3").as("m2"),
+        col("sig._4").as("m3"), col("sig._5").as("m4"), col("sig._6").as("m5"),
+        col("sig._7").as("m6"), col("sig._8").as("m7"))
+      .orderBy("doc_id")
+  }
+
+  /** MinHash LSH near-dup pairs: 4 bands × 2 rows; candidate pairs where any
+    * band collides, with the signature-agreement count (est. Jaccard × 8).
+    * The LSH band join is the scale path: equi-join on (band, hash-pair)
+    * keys instead of an O(n²) similarity scan. */
+  def q19MinhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = q18MinhashSig(spark, dir)
+    val bands = (0 until 4).map { b =>
+      sigs.select(col("doc_id"),
+        lit(b).as("band"),
+        concat_ws(":", col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("bkey"))
+    }.reduce(_ union _)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val a = sigs.toDF(sigs.columns.map(c => s"a_$c").toIndexedSeq: _*)
+    val b = sigs.toDF(sigs.columns.map(c => s"b_$c").toIndexedSeq: _*)
+    val agree = (0 until 8).map(i =>
+      when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0)).reduce(_ + _)
+    cand.join(a, col("id_a") === col("a_doc_id"))
+      .join(b, col("id_b") === col("b_doc_id"))
+      .select(col("id_a"), col("id_b"), agree.as("n_agree"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** SimHash (32-bit) over whitespace tokens with the 31-bit polynomial
+    * token hash — integer-only, oracle-reproducible. */
+  def simhash32(text: String): Long = {
+    val tokens = text.trim.split("\\s+")
+    val acc = new Array[Int](32)
+    tokens.foreach { tok =>
+      var h = 0L
+      var k = 0
+      while (k < tok.length) { h = (h * 31L + tok.charAt(k).toLong) % MH_PRIME; k += 1 }
+      var b = 0
+      while (b < 32) {
+        acc(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 32) {
+      if (acc(b) >= 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  def q20Simhash(spark: SparkSession, dir: String): DataFrame = {
+    val sh = udf((text: String) => simhash32(text))
+    docs(spark, dir).select(col("doc_id"), sh(col("text")).as("simhash")).orderBy("doc_id")
+  }
+
+  /** Document fingerprint: min shingle hash (winnowing-lite) — content id
+    * stable under small edits at the tail. */
+  def q21Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val fp = udf((text: String) => shingleHashes(text).min)
+    docs(spark, dir).select(col("doc_id"), fp(col("text")).as("fp")).orderBy("doc_id")
+  }
+
+  // ---------------- embeddings / ANN ----------------
+
+  /** Brute-force cosine (dot on unit-agnostic doubles) top-3 neighbors for
+    * the first 20 vectors; sequential left-fold dot product so the oracle's
+    * list_dot_product matches bitwise. */
+  def q22AnnTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val dot = udf((a: Seq[Double], b: Seq[Double]) => {
+      var s = 0.0
+      var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    })
+    val scored = queries.join(broadcast(emb), col("vec_id") =!= col("query_id"))
+      .withColumn("dot", dot(col("qv"), col("v")))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
+  // ---------------- events: windows / sessions ----------------
+
+  /** Tumbling 1-hour windows per event type (batch twin of the streaming
+    * path; exact aggregates only — count/min/max). */
+  def q23WindowCounts(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), min("value").as("min_v"), max("value").as("max_v"))
+      .select(unix_timestamp(col("w.start")).as("win_start"), col("event_type"),
+        col("n"), col("min_v"), col("max_v"))
+      .orderBy("win_start", "event_type")
+
+  /** Sessionization: 30-minute-gap sessions per user via window functions. */
+  def q24Sessions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1).otherwise(0))
+      .withColumn("sess_id", sum("new_sess").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id")
+      .agg(max("sess_id").as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+}

@@ -1,13 +1,273 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract: `queries` = the engine's verifiable operator surface,
+  * `oracleSql` = DuckDB-equivalent SQL per query (hash-compared by the
+  * driver at sf0.01). Column names and float-expression order are part of
+  * the contract — see Queries.scala / OracleSql.scala.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: tile assignment + per-tile counts on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Queries.q05TileCounts(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_agg" -> (Queries.q01Agg _),
+    "q02_gh_encode" -> (Queries.q02GhEncode _),
+    "q03_gh_children" -> (Queries.q03GhChildren _),
+    "q04_gh_neighbors" -> (Queries.q04GhNeighbors _),
+    "q05_tile_counts" -> (Queries.q05TileCounts _),
+    "q06_filter_intersects" -> (Queries.q06FilterIntersects _),
+    "q07_filter_contains" -> (Queries.q07FilterContains _),
+    "q08_dwithin" -> (Queries.q08Dwithin _),
+    "q09_measure_distance" -> (Queries.q09MeasureDistance _),
+    "q10_bbox_all" -> (Queries.q10BboxAll _),
+    "q11_hilbert" -> (Queries.q11Hilbert _),
+    "q12_wkt_point" -> (Queries.q12WktPoint _),
+    "q13_gj_point" -> (Queries.q13GjPoint _),
+    "q14_token_count" -> (Queries.q14TokenCount _),
+    "q15_text_stats" -> (Queries.q15TextStats _),
+    "q16_lang_scores" -> (Queries.q16LangScores _),
+    "q17_dedup_exact" -> (Queries.q17DedupExact _),
+    "q18_minhash_sig" -> (Queries.q18MinhashSig _),
+    "q19_minhash_pairs" -> (Queries.q19MinhashPairs _),
+    "q20_simhash" -> (Queries.q20Simhash _),
+    "q21_fingerprint" -> (Queries.q21Fingerprint _),
+    "q22_ann_topk" -> (Queries.q22AnnTopk _),
+    "q23_window_counts" -> (Queries.q23WindowCounts _),
+    "q24_sessions" -> (Queries.q24Sessions _),
+  )
+
+  // ---------------- oracle SQL ----------------
+
+  private val P = OracleSql.PTS_CTE
+  private def li(n: Int) = OracleSql.lonIdxSql(n)
+  private def la(n: Int) = OracleSql.latIdxSql(n)
+  private def gh(lonCol: String, latCol: String, n: Int) =
+    OracleSql.ghFromIndicesSql(lonCol, latCol, n)
+
+  private val BASE32_LIST: String =
+    "0123456789bcdefghjkmnpqrstuvwxyz".map(c => s"'$c'").mkString("[", ",", "]")
+
+  /** Shared minhash shingle-hash CTE (mirror of Queries.shingleHashes). */
+  private val SHINGLES_CTE: String =
+    """sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(t) < 4 THEN [CAST(0 AS BIGINT)]
+      |    ELSE [CAST(((((ord(substr(t, i, 1)) * 31 + ord(substr(t, i + 1, 1))) % 2147483647) * 31
+      |           + ord(substr(t, i + 2, 1))) % 2147483647 * 31
+      |           + ord(substr(t, i + 3, 1))) % 2147483647 AS BIGINT) for i in range(1, length(t) - 2)]
+      |    END AS hs
+      |  FROM (SELECT doc_id, lower(substr(text, 1, 256)) AS t FROM documents)
+      |)""".stripMargin
+
+  private def minhashCols: String =
+    Queries.MH_COEF.zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(hs, h -> ($a * h + $b) % 2147483647)) AS m$i"
+    }.mkString(",\n    ")
+
+  private val SIG_CTE: String =
+    s"$SHINGLES_CTE,\nsig AS (\n  SELECT doc_id,\n    $minhashCols\n  FROM sh\n)"
+
+  private def langScoreSql: String = {
+    val markers = Seq(
+      "s_en" -> Seq(" the ", " and ", " is "),
+      "s_de" -> Seq(" der ", " und ", " ist "),
+      "s_fr" -> Seq(" le ", " et ", " est "),
+      "s_es" -> Seq(" el ", " y ", " es "))
+    markers.map { case (name, ms) =>
+      ms.map(m => s"(length(p) - length(replace(p, '$m', ''))) / ${m.length}")
+        .mkString("(", " + ", s") AS $name")
+    }.mkString(",\n    ")
+  }
+
+  private def simhashBits: String =
+    (0 until 32).map { b =>
+      s"((CASE WHEN list_sum(list_transform(hs, h -> ((h >> $b) & 1) * 2 - 1)) >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) << $b)"
+    }.mkString("(", " | ", ")")
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n_rows
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q02_gh_encode" ->
+      s"""WITH $P,
+         |idx AS (SELECT id, ${li(5)} AS loni, ${la(5)} AS lati FROM pts)
+         |SELECT id, ${gh("loni", "lati", 5)} AS gh FROM idx ORDER BY id""".stripMargin,
+
+    "q03_gh_children" ->
+      s"""WITH $P,
+         |idx AS (SELECT DISTINCT ${gh("loni", "lati", 3)} AS gh
+         |        FROM (SELECT ${li(3)} AS loni, ${la(3)} AS lati FROM pts))
+         |SELECT gh, gh || c AS child
+         |FROM idx CROSS JOIN (SELECT unnest($BASE32_LIST) AS c)
+         |ORDER BY gh, child""".stripMargin,
+
+    "q04_gh_neighbors" -> {
+      val latCells = 1L << 12
+      val lonCells = 1L << 13
+      s"""WITH $P,
+         |q0 AS (SELECT id, ${li(5)} AS li, ${la(5)} AS ai FROM pts),
+         |q1 AS (SELECT id, li, ai,
+         |         (li + 1) % $lonCells AS lie, (li + ${lonCells - 1}) % $lonCells AS liw,
+         |         ai + 1 AS ain, ai - 1 AS ais
+         |       FROM q0 WHERE ai BETWEEN 1 AND ${latCells - 2})
+         |SELECT id,
+         |  ${gh("li", "ai", 5)} AS gh,
+         |  ${gh("li", "ain", 5)} AS n,
+         |  ${gh("lie", "ain", 5)} AS ne,
+         |  ${gh("lie", "ai", 5)} AS e,
+         |  ${gh("lie", "ais", 5)} AS se,
+         |  ${gh("li", "ais", 5)} AS s,
+         |  ${gh("liw", "ais", 5)} AS sw,
+         |  ${gh("liw", "ai", 5)} AS w,
+         |  ${gh("liw", "ain", 5)} AS nw
+         |FROM q1 ORDER BY id""".stripMargin
+    },
+
+    "q05_tile_counts" ->
+      s"""WITH $P,
+         |t AS (SELECT ${gh("loni", "lati", 3)} AS tile
+         |      FROM (SELECT ${li(3)} AS loni, ${la(3)} AS lati FROM pts))
+         |SELECT tile, count(*) AS n_points FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q06_filter_intersects" ->
+      s"""WITH $P
+         |SELECT id FROM pts
+         |WHERE lat >= 0.0 AND lat <= 45.0 AND lon >= -135.0 AND lon <= -90.0
+         |ORDER BY id""".stripMargin,
+
+    "q07_filter_contains" ->
+      s"""WITH $P
+         |SELECT id FROM pts
+         |WHERE lat > 0.0 AND lat < 50.0 AND lon > -50.0 AND lon < 30.0
+         |ORDER BY id""".stripMargin,
+
+    "q08_dwithin" ->
+      s"""WITH $P,
+         |${OracleSql.vincentyCtes(Queries.DW_LON, Queries.DW_LAT, "pts", Seq("id"))}
+         |SELECT id FROM vfin WHERE meters < ${Queries.DW_RADIUS} ORDER BY id""".stripMargin,
+
+    "q09_measure_distance" ->
+      s"""WITH $P,
+         |${OracleSql.vincentyCtes(Queries.DW_LON, Queries.DW_LAT, "pts", Seq("id"))}
+         |SELECT id, CAST(round(meters) AS BIGINT) AS meters FROM vfin ORDER BY id""".stripMargin,
+
+    "q10_bbox_all" ->
+      s"""WITH $P
+         |SELECT min(lon) AS minx, min(lat) AS miny, max(lon) AS maxx, max(lat) AS maxy
+         |FROM pts""".stripMargin,
+
+    "q11_hilbert" ->
+      s"""WITH $P,
+         |xy AS (SELECT id,
+         |  CAST(floor((65535.0 * (lon - -180.0)) / 360.0) AS BIGINT) AS gx,
+         |  CAST(floor((65535.0 * (lat - -90.0)) / 180.0) AS BIGINT) AS gy
+         |FROM pts)
+         |SELECT id, h FROM ${OracleSql.hilbertLayersSql("xy", "gx", "gy", Seq("id"))}
+         |ORDER BY h, id""".stripMargin,
+
+    "q12_wkt_point" ->
+      s"""WITH $P
+         |SELECT id, 'POINT(' || ((id % 360) - 180) || ' ' || ((id % 180) - 90) || ')' AS wkt
+         |FROM pts ORDER BY id""".stripMargin,
+
+    "q13_gj_point" ->
+      s"""WITH $P
+         |SELECT id, '{"coordinates":[' || ((id % 360) - 180) || '.0,' || ((id % 180) - 90)
+         |  || '.0],"type":"Point"}' AS gj
+         |FROM pts ORDER BY id""".stripMargin,
+
+    "q14_token_count" ->
+      """SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q15_text_stats" ->
+      """SELECT doc_id,
+        |  length(text) AS n_chars,
+        |  length(text) - length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+        |  length(text) - length(regexp_replace(text, ' ', '', 'g')) AS n_spaces,
+        |  length(text) - length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
+        |  ((length(text) - length(regexp_replace(text, '[^A-Za-z]', '', 'g'))) * 100
+        |    >= length(text) * 70) AS quality_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q16_lang_scores" ->
+      s"""WITH t AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents),
+         |s AS (SELECT doc_id,
+         |    $langScoreSql
+         |  FROM t)
+         |SELECT doc_id, s_en, s_de, s_fr, s_es,
+         |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         |       WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS pred
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q17_dedup_exact" ->
+      """SELECT md5(substr(text, 1, 32)) AS k, count(*) AS n_dups, min(doc_id) AS keeper
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q18_minhash_sig" ->
+      s"""WITH $SIG_CTE
+         |SELECT doc_id, m0, m1, m2, m3, m4, m5, m6, m7 FROM sig ORDER BY doc_id""".stripMargin,
+
+    "q19_minhash_pairs" ->
+      s"""WITH $SIG_CTE,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
+         |    (a.m0 = b.m0 AND a.m1 = b.m1) OR (a.m2 = b.m2 AND a.m3 = b.m3) OR
+         |    (a.m4 = b.m4 AND a.m5 = b.m5) OR (a.m6 = b.m6 AND a.m7 = b.m7)))
+         |SELECT id_a, id_b,
+         |  (${(0 until 8).map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")}) AS n_agree
+         |FROM cand JOIN sig a ON a.doc_id = id_a JOIN sig b ON b.doc_id = id_b
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q20_simhash" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |    list_transform(regexp_split_to_array(trim(text), '\\s+'),
+         |      tk -> CASE WHEN length(tk) = 0 THEN CAST(0 AS BIGINT)
+         |            ELSE CAST(list_reduce([CAST(ord(substr(tk, i, 1)) AS BIGINT) for i in range(1, length(tk) + 1)],
+         |                      (a, b) -> (a * 31 + b) % 2147483647) AS BIGINT) END) AS hs
+         |  FROM documents)
+         |SELECT doc_id, $simhashBits AS simhash FROM tok ORDER BY doc_id""".stripMargin,
+
+    "q21_fingerprint" ->
+      s"""WITH $SHINGLES_CTE
+         |SELECT doc_id, list_min(hs) AS fp FROM sh ORDER BY doc_id""".stripMargin,
+
+    "q22_ann_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+        |s AS (SELECT query_id, vec_id, list_dot_product(qv, v) AS dot
+        |      FROM q CROSS JOIN e WHERE vec_id != query_id),
+        |r AS (SELECT query_id, vec_id,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id ASC) AS rank
+        |      FROM s)
+        |SELECT query_id, rank, vec_id AS neighbor_id FROM r WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q23_window_counts" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start, event_type,
+        |  count(*) AS n, min(value) AS min_v, max(value) AS max_v
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q24_sessions" ->
+      """WITH x AS (SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |y AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_sess
+        |  FROM x),
+        |z AS (SELECT user_id,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+        |  FROM y)
+        |SELECT user_id, max(sess_id) AS n_sessions, count(*) AS n_events
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
 }

@@ -68,4 +68,52 @@ object Vincenty {
           (-3.0 + 4.0 * cos2SigmaM * cos2SigmaM)))
     Some(B * a * (sigma - deltaSigma))
   }
+
+  /** Fixed-iteration variant (no early exit): runs the lambda update exactly
+    * `iters` times. Numerically identical to [[distance]] to well below 1e-9
+    * relative once converged, but with a deterministic, loop-free dataflow
+    * that an external SQL oracle can replicate term-for-term (the engine's
+    * cross-checkable form; production code uses [[distance]]).
+    */
+  def distanceFixed(lon1: Double, lat1: Double, lon2: Double, lat2: Double,
+                    iters: Int = 20): Double = {
+    if (lon1 == lon2 && lat1 == lat2) return 0.0
+    val l = math.toRadians(lon2 - lon1)
+    val u1 = math.atan((1.0 - F) * math.tan(math.toRadians(lat1)))
+    val u2 = math.atan((1.0 - F) * math.tan(math.toRadians(lat2)))
+    val sinU1 = math.sin(u1); val cosU1 = math.cos(u1)
+    val sinU2 = math.sin(u2); val cosU2 = math.cos(u2)
+
+    var lambda = l
+    var sinSigma = 0.0; var cosSigma = 0.0; var sigma = 0.0
+    var cosSqAlpha = 0.0; var cos2SigmaM = 0.0
+    var it = 0
+    while (it < iters) {
+      val sinLambda = math.sin(lambda)
+      val cosLambda = math.cos(lambda)
+      sinSigma = math.sqrt(
+        (cosU2 * sinLambda) * (cosU2 * sinLambda) +
+          (cosU1 * sinU2 - sinU1 * cosU2 * cosLambda) *
+          (cosU1 * sinU2 - sinU1 * cosU2 * cosLambda))
+      cosSigma = sinU1 * sinU2 + cosU1 * cosU2 * cosLambda
+      sigma = math.atan2(sinSigma, cosSigma)
+      val sinAlpha = cosU1 * cosU2 * sinLambda / sinSigma
+      cosSqAlpha = 1.0 - sinAlpha * sinAlpha
+      cos2SigmaM = cosSigma - 2.0 * sinU1 * sinU2 / cosSqAlpha
+      val c = F / 16.0 * cosSqAlpha * (4.0 + F * (4.0 - 3.0 * cosSqAlpha))
+      lambda = l + (1.0 - c) * F * sinAlpha *
+        (sigma + c * sinSigma *
+          (cos2SigmaM + c * cosSigma * (-1.0 + 2.0 * cos2SigmaM * cos2SigmaM)))
+      it += 1
+    }
+    val uSq = cosSqAlpha * (A * A - B * B) / (B * B)
+    val a = 1.0 + uSq / 16384.0 * (4096.0 + uSq * (-768.0 + uSq * (320.0 - 175.0 * uSq)))
+    val b = uSq / 1024.0 * (256.0 + uSq * (-128.0 + uSq * (74.0 - 47.0 * uSq)))
+    val deltaSigma = b * sinSigma *
+      (cos2SigmaM + b / 4.0 *
+        (cosSigma * (-1.0 + 2.0 * cos2SigmaM * cos2SigmaM) -
+          b / 6.0 * cos2SigmaM * (-3.0 + 4.0 * sinSigma * sinSigma) *
+          (-3.0 + 4.0 * cos2SigmaM * cos2SigmaM)))
+    B * a * (sigma - deltaSigma)
+  }
 }

@@ -155,6 +155,40 @@ object Geohash {
     out.toSeq
   }
 
+  /** Geohash from pre-quantized cell indices: `lonIdx` ∈ [0, 2^lonBits),
+    * `latIdx` ∈ [0, 2^latBits) where lonBits = ceil(5·len/2),
+    * latBits = floor(5·len/2). Bit-interleave starting with the lon MSB —
+    * exactly `encode` once the floats are quantized. Exists so the engine
+    * and an external SQL oracle can share one integer-only code path after
+    * an identical float quantization expression (no cross-engine float
+    * divergence).
+    */
+  def fromIndices(lonIdx: Long, latIdx: Long, len: Int): String = {
+    val nBits = 5 * len
+    val lonBits = (nBits + 1) / 2
+    val latBits = nBits / 2
+    val sb = new java.lang.StringBuilder(len)
+    var i = 0
+    while (i < len) {
+      var ch = 0
+      var k = 0
+      while (k < 5) {
+        val j = 5 * i + k // global bit position, 0 = first (lon MSB)
+        val bit =
+          if ((j & 1) == 0) ((lonIdx >>> (lonBits - 1 - j / 2)) & 1L).toInt
+          else ((latIdx >>> (latBits - 1 - (j - 1) / 2)) & 1L).toInt
+        ch = (ch << 1) | bit
+        k += 1
+      }
+      sb.append(BASE32(ch))
+      i += 1
+    }
+    sb.toString
+  }
+
+  def lonBitsFor(len: Int): Int = (5 * len + 1) / 2
+  def latBitsFor(len: Int): Int = (5 * len) / 2
+
   /** u64 → 12-char geohash, 5 bits per char from the LSB end
     * (reference `src/geoq/geohash.rs:85-97`). */
   def encodeLong(x: Long): String = {
