@@ -378,6 +378,39 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  // ---------------- scale-path spatial join / kNN ----------------
+
+  /** Deterministic query boxes derived from nation keys (exact integer →
+    * double math, mirrored in the oracle). */
+  def nationBoxes(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/nation.parquet").select(
+      col("n_nationkey").cast("long").as("rid"),
+      (lit(-180.0) + (col("n_nationkey") * 67 % 300).cast("double")).as("minx"),
+      (lit(-90.0) + (col("n_nationkey") * 37 % 150).cast("double")).as("miny"),
+      (lit(-180.0) + (col("n_nationkey") * 67 % 300).cast("double") +
+        (col("n_nationkey") % 13 + 10).cast("double")).as("maxx"),
+      (lit(-90.0) + (col("n_nationkey") * 37 % 150).cast("double") +
+        (col("n_nationkey") % 11 + 5).cast("double")).as("maxy"))
+
+  /** Spatial join at scale: points × nation boxes via the cell-keyed
+    * equi-join + exact refine; per-box hit counts. */
+  def q26SpatialJoin(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.join.SpatialJoin.joinPointsInBoxes(
+      pts(spark, dir), nationBoxes(spark, dir))
+    pairs.groupBy("rid").agg(count(lit(1)).as("n_points")).orderBy("rid")
+  }
+
+  /** Exact kNN (k=5, squared-euclidean-degrees) via grid-cell ring
+    * candidates + guaranteed-complete check + brute-force fallback. */
+  def q25Knn(spark: SparkSession, dir: String): DataFrame = {
+    val p = pts(spark, dir)
+    val qs = p.filter(col("id") % 101 === 0)
+      .select(col("id").as("query_id"), col("lon").as("qlon"), col("lat").as("qlat"))
+    graft.join.SpatialJoin.knn(p, qs, k = 5)
+      .select("query_id", "rank", "neighbor_id")
+      .orderBy("query_id", "rank")
+  }
+
   // ---------------- events: windows / sessions ----------------
 
   /** Tumbling 1-hour windows per event type (batch twin of the streaming

@@ -38,6 +38,8 @@ object SparkEntry {
     "q22_ann_topk" -> (Queries.q22AnnTopk _),
     "q23_window_counts" -> (Queries.q23WindowCounts _),
     "q24_sessions" -> (Queries.q24Sessions _),
+    "q25_knn" -> (Queries.q25Knn _),
+    "q26_spatial_join" -> (Queries.q26SpatialJoin _),
   )
 
   // ---------------- oracle SQL ----------------
@@ -269,5 +271,29 @@ object SparkEntry {
         |  FROM y)
         |SELECT user_id, max(sess_id) AS n_sessions, count(*) AS n_events
         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q25_knn" ->
+      s"""WITH $P,
+         |q AS (SELECT id AS query_id, lon AS qlon, lat AS qlat FROM pts WHERE id % 101 = 0),
+         |s AS (SELECT query_id, id,
+         |    (qlat - lat) * (qlat - lat) + (qlon - lon) * (qlon - lon) AS dist2
+         |  FROM q CROSS JOIN pts WHERE id != query_id),
+         |r AS (SELECT query_id, id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY dist2 ASC, id ASC) AS rank
+         |  FROM s)
+         |SELECT query_id, rank, id AS neighbor_id FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "q26_spatial_join" ->
+      s"""WITH $P,
+         |boxes AS (SELECT CAST(n_nationkey AS BIGINT) AS rid,
+         |    -180.0 + (n_nationkey * 67 % 300) AS minx,
+         |    -90.0 + (n_nationkey * 37 % 150) AS miny,
+         |    -180.0 + (n_nationkey * 67 % 300) + (n_nationkey % 13 + 10) AS maxx,
+         |    -90.0 + (n_nationkey * 37 % 150) + (n_nationkey % 11 + 5) AS maxy
+         |  FROM nation)
+         |SELECT rid, count(*) AS n_points
+         |FROM boxes JOIN pts ON lon >= minx AND lon <= maxx AND lat >= miny AND lat <= maxy
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

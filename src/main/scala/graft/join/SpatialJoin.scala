@@ -1,0 +1,154 @@
+package graft.join
+
+import graft.geom.Geo
+import graft.index.Geohash
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Distributed spatial join + kNN — the engine's scale path.
+  *
+  * The reference's filters are stream × broadcast-query-set semi-joins
+  * (`src/geoq/commands/filter.rs:6-29`); at 100 TB the query side may be a
+  * full table, so the engine re-expresses the same keep/drop semantics as a
+  * cell-keyed equi-join: explode both sides to covering cells, hash-join on
+  * the cell key, dedupe candidates, then refine with the exact JTS
+  * predicate. Candidate generation is a pure superset step — cell-assignment
+  * float edges can NOT change results, only costs.
+  *
+  * kNN follows the grid-ring pattern: 3×3 neighbor-cell candidates, local
+  * top-k, then an exactness check (kth distance strictly inside the
+  * guaranteed-complete radius) with a brute-force fallback for the few
+  * queries that fail it — exact results, bounded worst case, no iteration.
+  */
+object SpatialJoin {
+
+  /** Integer grid cell ids at `bits` bits/axis over the lon/lat world box. */
+  def cellCols(lon: Column, lat: Column, bits: Int): (Column, Column) = {
+    val l = 1L << bits
+    (least(floor(((lon + lit(180.0)) / lit(360.0)) * lit(l.toDouble)), lit(l - 1)).cast("int"),
+     least(floor(((lat + lit(90.0)) / lit(180.0)) * lit(l.toDouble)), lit(l - 1)).cast("int"))
+  }
+
+  /** Spatial inner join: `left` (id, lon, lat) points × `right`
+    * (rid, minx, miny, maxx, maxy) boxes → (id, rid) pairs where the point
+    * intersects the box (inclusive boundary). Cell-keyed: the box side is
+    * exploded to its covering cells, the point side keyed to its single
+    * cell — a plain shuffled hash equi-join that scales with data, refined
+    * by the exact predicate. */
+  def joinPointsInBoxes(left: DataFrame, right: DataFrame, bits: Int = 6): DataFrame = {
+    val l = 1L << bits
+    val cellW = 360.0 / l
+    val cellH = 180.0 / l
+    val (pcx, pcy) = cellCols(col("lon"), col("lat"), bits)
+    val pts = left.withColumn("cx", pcx).withColumn("cy", pcy)
+
+    // covering cells of each box: all cells its bbox touches
+    val (bx0, by0) = cellCols(col("minx"), col("miny"), bits)
+    val (bx1, by1) = cellCols(col("maxx"), col("maxy"), bits)
+    val boxes = right
+      .withColumn("cx", explode(sequence(bx0, bx1)))
+      .withColumn("cy", explode(sequence(by0, by1)))
+    val _ = (cellW, cellH) // cell sizes documented for tuning `bits`
+
+    pts.join(boxes, Seq("cx", "cy"))
+      .filter(col("lon") >= col("minx") && col("lon") <= col("maxx") &&
+        col("lat") >= col("miny") && col("lat") <= col("maxy"))
+      .select(col("id"), col("rid"))
+  }
+
+  /** Exact kNN of `queries` (query_id, qlon, qlat) among `points`
+    * (id, lon, lat) under squared-euclidean-degrees, ties by id.
+    * Returns (query_id, rank, neighbor_id, dist2), rank 1..k. */
+  def knn(points: DataFrame, queries: DataFrame, k: Int, bits: Int = 6): DataFrame = {
+    val l = 1L << bits
+    val cellW = 360.0 / l
+    val cellH = 180.0 / l
+
+    val (pcx, pcy) = cellCols(col("lon"), col("lat"), bits)
+    val pts = points.withColumn("cx", pcx).withColumn("cy", pcy)
+
+    val (qcx, qcy) = cellCols(col("qlon"), col("qlat"), bits)
+    val qs = queries.withColumn("qcx", qcx).withColumn("qcy", qcy)
+
+    // phase 1: 3×3 neighbor-cell candidates (lat clamped, lon not wrapped —
+    // the metric is planar degrees, nothing exists beyond the world edge)
+    val offsets = Seq(-1, 0, 1)
+    val cand = qs
+      .withColumn("cx", explode(array(offsets.map(d => col("qcx") + lit(d)): _*)))
+      .withColumn("cy", explode(array(offsets.map(d => col("qcy") + lit(d)): _*)))
+      .filter(col("cx") >= 0 && col("cx") < l && col("cy") >= 0 && col("cy") < l)
+      .join(pts, Seq("cx", "cy"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("dist2",
+        (col("qlat") - col("lat")) * (col("qlat") - col("lat")) +
+          (col("qlon") - col("lon")) * (col("qlon") - col("lon")))
+
+    val w = Window.partitionBy("query_id").orderBy(col("dist2").asc, col("id").asc)
+    val top = cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+
+    // exactness guarantee: every world point strictly within dSafe of the
+    // query lies inside the 3×3 cell box, so if the kth candidate is
+    // strictly closer than dSafe the top-k is provably complete.
+    val boxMinX = (col("qcx") - 1).cast("double") * lit(cellW) - lit(180.0)
+    val boxMaxX = (col("qcx") + 2).cast("double") * lit(cellW) - lit(180.0)
+    val boxMinY = (col("qcy") - 1).cast("double") * lit(cellH) - lit(90.0)
+    val boxMaxY = (col("qcy") + 2).cast("double") * lit(cellH) - lit(90.0)
+    def edgeDist(d: Column, edgeAtWorldBound: Column): Column =
+      when(edgeAtWorldBound, lit(Double.MaxValue)).otherwise(d)
+    val dSafe = least(
+      edgeDist(col("qlon") - boxMinX, boxMinX <= lit(-180.0)),
+      edgeDist(boxMaxX - col("qlon"), boxMaxX >= lit(180.0)),
+      edgeDist(col("qlat") - boxMinY, boxMinY <= lit(-90.0)),
+      edgeDist(boxMaxY - col("qlat"), boxMaxY >= lit(90.0)))
+
+    val perQuery = top.groupBy("query_id", "qlon", "qlat", "qcx", "qcy")
+      .agg(count(lit(1)).as("n_cand"), max("dist2").as("kth_dist2"))
+      .withColumn("dsafe", dSafe)
+      .withColumn("exact", col("n_cand") >= k && col("kth_dist2") < col("dsafe") * col("dsafe"))
+
+    val okIds = perQuery.filter(col("exact")).select("query_id")
+    val phase1 = top.join(okIds, Seq("query_id"), "left_semi")
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), col("dist2"))
+
+    // phase 2: the few escalated queries brute-force against all points
+    // (broadcast the small escalated set; exact by construction)
+    val escQs = qs.join(perQuery.filter(!col("exact") || col("exact").isNull)
+        .select("query_id"), Seq("query_id"), "left_semi")
+      .unionByName( // queries with zero phase-1 candidates never reach perQuery
+        qs.join(perQuery.select("query_id"), Seq("query_id"), "left_anti"))
+      .select("query_id", "qlon", "qlat")
+    val esc = broadcast(escQs)
+      .crossJoin(points)
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("dist2",
+        (col("qlat") - col("lat")) * (col("qlat") - col("lat")) +
+          (col("qlon") - col("lon")) * (col("qlon") - col("lon")))
+    val phase2 = esc.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), col("dist2"))
+
+    phase1.unionByName(phase2)
+  }
+
+  /** Entity-level spatial semi-join at scale: keep left features whose
+    * geometry intersects ANY right geometry. Covering-cell equi-join →
+    * dedupe → exact JTS refine → left-semi. Same keep/drop decisions as
+    * GeoOps.filterIntersects (reference `filter intersects` semantics). */
+  def filterIntersectsAtScale(left: DataFrame, right: DataFrame,
+                              level: Int = 3): DataFrame = {
+    // left/right: (id, wkb). Explode both to geohash covering cells.
+    val coverUdf = udf((wkb: Array[Byte]) =>
+      Geohash.covering(Geo.fromWkb(wkb), level))
+    val lc = left.withColumn("cell", explode(coverUdf(col("wkb"))))
+    val rc = right.select(col("id").as("rid"), col("wkb").as("rwkb"))
+      .withColumn("cell", explode(coverUdf(col("rwkb"))))
+    val hit = udf((a: Array[Byte], b: Array[Byte]) =>
+      Geo.fromWkb(a).intersects(Geo.fromWkb(b)))
+    val pairs = lc.join(rc, Seq("cell"))
+      .select(col("id"), col("rid"), col("wkb"), col("rwkb"))
+      .dropDuplicates("id", "rid")
+      .filter(hit(col("wkb"), col("rwkb")))
+      .select("id").distinct()
+    left.join(pairs, Seq("id"), "left_semi")
+  }
+}
