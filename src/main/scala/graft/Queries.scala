@@ -411,6 +411,62 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  // ---------------- image table (north-rule payload) ----------------
+
+  import graft.img.{ImageRow, Images}
+
+  /** Deterministic synthetic image+caption table; row count fixed per query
+    * so outputs are reproducible (rows-only driver check — phash depends on
+    * pixels, not SQL-expressible). */
+  def imageTable(spark: SparkSession, n: Long): org.apache.spark.sql.Dataset[ImageRow] = {
+    import spark.implicits._
+    spark.range(n).repartition(spark.sparkContext.defaultParallelism)
+      .map(r => Images.generate(r))
+  }
+
+  val IMG_N = 2000L
+
+  /** Tile assignment of images by phash-derived anchor → per-tile counts
+    * (the north rule's raster→vector tiling over the image table). */
+  def q27ImgTiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    imageTable(spark, IMG_N)
+      .map(r => graft.index.Geohash.encode(
+        Images.anchorLat(r.phash), Images.anchorLon(r.phash), 2))
+      .toDF("tile")
+      .groupBy("tile").agg(count(lit(1)).as("n_images"))
+      .orderBy("tile")
+  }
+
+  /** Decode → re-encode → decode round-trip invariants: PSNR ≥ 40 dB for
+    * jpeg, bit-exact for png; caption byte-equality (north-rule per-row
+    * invariant). */
+  def q28ImgRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    imageTable(spark, IMG_N).map { r =>
+      val img0 = Images.decode(r.bytes)
+      val re = Images.encode(img0, r.fmt)
+      val img1 = Images.decode(re)
+      val p = Images.psnr(img0, img1)
+      val psnrOk = if (r.fmt == "png") p.isInfinite else p >= 40.0
+      val capOk = r.caption == Images.caption(r.image_id.stripPrefix("img").toLong)
+      (r.image_id, r.fmt, if (p.isInfinite) 999L else math.floor(p).toLong, psnrOk, capOk)
+    }.toDF("image_id", "fmt", "psnr_floor_db", "psnr_ok", "caption_ok")
+      .orderBy("image_id")
+  }
+
+  /** Images joined to the nation boxes through their anchors — the
+    * image-table spatial join of the north rule. */
+  def q29ImgBoxJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val anchors = imageTable(spark, IMG_N)
+      .map(r => (r.image_id, Images.anchorLon(r.phash), Images.anchorLat(r.phash)))
+      .toDF("id", "lon", "lat")
+    graft.join.SpatialJoin.joinPointsInBoxes(anchors, nationBoxes(spark, dir))
+      .groupBy("rid").agg(count(lit(1)).as("n_images"))
+      .orderBy("rid")
+  }
+
   // ---------------- events: windows / sessions ----------------
 
   /** Tumbling 1-hour windows per event type (batch twin of the streaming

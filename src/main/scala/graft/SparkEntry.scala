@@ -40,6 +40,11 @@ object SparkEntry {
     "q24_sessions" -> (Queries.q24Sessions _),
     "q25_knn" -> (Queries.q25Knn _),
     "q26_spatial_join" -> (Queries.q26SpatialJoin _),
+    // image queries: rows-only driver check (phash is pixel-derived, not
+    // SQL-expressible); invariants asserted in ImagesSpec
+    "q27_img_tiles" -> (Queries.q27ImgTiles _),
+    "q28_img_roundtrip" -> (Queries.q28ImgRoundtrip _),
+    "q29_img_box_join" -> (Queries.q29ImgBoxJoin _),
   )
 
   // ---------------- oracle SQL ----------------
