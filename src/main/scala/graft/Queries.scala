@@ -467,6 +467,59 @@ object Queries {
       .orderBy("rid")
   }
 
+  // ---------------- entity pipeline / munge / simplify ----------------
+
+  /** json munge through the full heuristic path; integer coords keep the
+    * output string oracle-reconstructable. */
+  def q31Munge(spark: SparkSession, dir: String): DataFrame = {
+    val mungeUdf = udf((line: String) => graft.ops.Munge.mungeLine(line))
+    pts(spark, dir)
+      .withColumn("loni", col("id") % 360 - 180)
+      .withColumn("lati", col("id") % 180 - 90)
+      .withColumn("line", concat(lit("{\"lat\": "), col("lati"),
+        lit(", \"lon\": "), col("loni"),
+        lit(", \"name\": \"evt"), col("id"), lit("\"}")))
+      .withColumn("feature", mungeUdf(col("line")))
+      .select("id", "feature").orderBy("id")
+  }
+
+  /** Full sniff → parse → convert path on WKT lines (format detection,
+    * WKT reader, canonical writers). */
+  def q32ParseWkt(spark: SparkSession, dir: String): DataFrame = {
+    val parseUdf = udf((line: String) => {
+      val e = graft.core.Entity.parseLine(line).head
+      (e.kind, e.raw, Geo.geometryJsonString(e.geom))
+    })
+    pts(spark, dir)
+      .withColumn("loni", col("id") % 360 - 180)
+      .withColumn("lati", col("id") % 180 - 90)
+      .withColumn("line", concat(lit("POINT ("), col("loni"), lit(" "), col("lati"), lit(")")))
+      .withColumn("p", parseUdf(col("line")))
+      .select(col("id"), col("p._1").as("kind"), col("p._2").as("wkt"),
+        col("p._3").as("gj"))
+      .orderBy("id")
+  }
+
+  /** VW-preserve simplify over deterministic zigzag polylines (kernel
+    * goldens in OpsSpec; rows-only driver check — VW is not SQL-
+    * expressible). Outputs coord counts before/after + retained-vertex
+    * checksum. */
+  def q30Simplify(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lines = pts(spark, dir)
+      .withColumn("g", col("id") % 100)
+      .groupBy("g")
+      .agg(sort_array(collect_list(struct(col("id"), col("lon"), col("lat")))).as("pts"))
+    lines.as[(Long, Seq[(Long, Double, Double)])].map { case (g, ps) =>
+      val coords = ps.map(p => new org.locationtech.jts.geom.Coordinate(p._2, p._3)).toArray
+      val ls = Geo.factory.createLineString(coords)
+      val simp = graft.ops.Simplify.simplify(ls, 1.0)
+      val kept = simp.getCoordinates.map(c => c.x + c.y).sum
+      (g, ls.getNumPoints, simp.getNumPoints, math.floor(kept * 1000).toLong)
+    }.toDF("g", "n_before", "n_after", "kept_checksum")
+      .orderBy("g")
+  }
+
   // ---------------- events: windows / sessions ----------------
 
   /** Tumbling 1-hour windows per event type (batch twin of the streaming

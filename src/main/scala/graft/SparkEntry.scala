@@ -45,6 +45,9 @@ object SparkEntry {
     "q27_img_tiles" -> (Queries.q27ImgTiles _),
     "q28_img_roundtrip" -> (Queries.q28ImgRoundtrip _),
     "q29_img_box_join" -> (Queries.q29ImgBoxJoin _),
+    "q30_simplify" -> (Queries.q30Simplify _), // rows-only: VW not SQL-expressible
+    "q31_munge" -> (Queries.q31Munge _),
+    "q32_parse_wkt" -> (Queries.q32ParseWkt _),
   )
 
   // ---------------- oracle SQL ----------------
@@ -300,5 +303,20 @@ object SparkEntry {
          |SELECT rid, count(*) AS n_points
          |FROM boxes JOIN pts ON lon >= minx AND lon <= maxx AND lat >= miny AND lat <= maxy
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q31_munge" ->
+      s"""WITH $P
+         |SELECT id, '{"geometry":{"coordinates":[' || ((id % 360) - 180) || '.0,'
+         |  || ((id % 180) - 90) || '.0],"type":"Point"},"properties":{"name":"evt' || id
+         |  || '"},"type":"Feature"}' AS feature
+         |FROM pts ORDER BY id""".stripMargin,
+
+    "q32_parse_wkt" ->
+      s"""WITH $P
+         |SELECT id, 'wkt' AS kind,
+         |  'POINT(' || ((id % 360) - 180) || ' ' || ((id % 180) - 90) || ')' AS wkt,
+         |  '{"coordinates":[' || ((id % 360) - 180) || '.0,' || ((id % 180) - 90)
+         |    || '.0],"type":"Point"}' AS gj
+         |FROM pts ORDER BY id""".stripMargin,
   )
 }

@@ -19,6 +19,33 @@ final case class ImageRow(image_id: String, bytes: Array[Byte], w: Int, h: Int,
                           fmt: String, caption: String, phash: Long)
 
 object Images {
+  // ImageIO's default stream cache is file-backed: every encode/decode
+  // creates a temp file under a synchronized cache directory, serializing
+  // all executor threads. Memory-backed streams restore linear scaling.
+  ImageIO.setUseCache(false)
+
+  // ImageIO.read/write consult javax.imageio.spi.ServiceRegistry on EVERY
+  // call; SubRegistry.getServiceProviders is a global synchronized monitor
+  // that serializes all 32 executor threads (observed via jstack: 8/32
+  // threads BLOCKED on it during bench). Resolve the SPIs once; instantiate
+  // readers/writers directly per call (instances are cheap and not shared).
+  private val pngWriterSpi = ImageIO.getImageWritersByFormatName("png").next().getOriginatingProvider
+  private val jpegWriterSpi = ImageIO.getImageWritersByFormatName("jpeg").next().getOriginatingProvider
+  private val pngReaderSpi = ImageIO.getImageReadersByFormatName("png").next().getOriginatingProvider
+  private val jpegReaderSpi = ImageIO.getImageReadersByFormatName("jpeg").next().getOriginatingProvider
+
+  // writer/reader instances carry sizable internal buffers; pool them per
+  // executor thread instead of allocating per image (GC pressure is the
+  // residual many-core scaling limiter after the registry-lock fix)
+  private val pngWriterTL = ThreadLocal.withInitial[javax.imageio.ImageWriter](() =>
+    pngWriterSpi.createWriterInstance())
+  private val jpegWriterTL = ThreadLocal.withInitial[javax.imageio.ImageWriter](() =>
+    jpegWriterSpi.createWriterInstance())
+  private val pngReaderTL = ThreadLocal.withInitial[javax.imageio.ImageReader](() =>
+    pngReaderSpi.createReaderInstance())
+  private val jpegReaderTL = ThreadLocal.withInitial[javax.imageio.ImageReader](() =>
+    jpegReaderSpi.createReaderInstance())
+
   // --- deterministic PRNG (public splitmix64) ---
   def splitmix64(seed: Long): Long = {
     var z = seed + 0x9E3779B97F4A7C15L
@@ -43,22 +70,26 @@ object Images {
     * 40 dB PSNR bar. */
   def renderPixels(idx: Long, w: Int, h: Int): BufferedImage = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    // direct raster writes: setRGB goes through per-pixel ColorModel
+    // conversion and defeats scaling on many cores
+    val data = img.getRaster.getDataBuffer.asInstanceOf[java.awt.image.DataBufferByte].getData
     val s1 = (splitmix64(idx) & 0xFF).toInt
     val s2 = (splitmix64(idx + 1) & 0xFF).toInt
     val s3 = (splitmix64(idx + 2) & 0xFF).toInt
     val fx = 1.0 + (splitmix64(idx + 3) & 3).toInt
     val fy = 1.0 + (splitmix64(idx + 4) & 3).toInt
     var y = 0
+    var o = 0
     while (y < h) {
+      val gy = y.toDouble / h
       var x = 0
       while (x < w) {
         val gx = x.toDouble / w
-        val gy = y.toDouble / h
         val tex = 20.0 * math.sin(2 * math.Pi * (fx * gx + fy * gy))
-        val r = clamp(s1 + 120 * gx + tex)
-        val g = clamp(s2 + 120 * gy - tex)
-        val b = clamp(s3 + 60 * gx + 60 * gy)
-        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        data(o) = clamp(s3 + 60 * gx + 60 * gy).toByte     // B
+        data(o + 1) = clamp(s2 + 120 * gy - tex).toByte    // G
+        data(o + 2) = clamp(s1 + 120 * gx + tex).toByte    // R
+        o += 3
         x += 1
       }
       y += 1
@@ -70,30 +101,62 @@ object Images {
 
   def encode(img: BufferedImage, fmt: String): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
     fmt match {
-      case "png" => ImageIO.write(img, "png", bos)
+      case "png" =>
+        val writer = pngWriterTL.get()
+        writer.setOutput(ios)
+        writer.write(null, new IIOImage(img, null, null), null)
+        writer.reset()
       case "jpeg" =>
-        val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+        val writer = jpegWriterTL.get()
         val p = writer.getDefaultWriteParam
         p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
         p.setCompressionQuality(0.98f)
-        val ios = ImageIO.createImageOutputStream(bos)
         writer.setOutput(ios)
         writer.write(null, new IIOImage(img, null, null), p)
-        ios.close(); writer.dispose()
+        writer.reset()
       case other => throw new IllegalArgumentException(s"fmt $other")
     }
+    ios.close()
     bos.toByteArray
   }
 
-  def decode(bytes: Array[Byte]): BufferedImage =
-    ImageIO.read(new ByteArrayInputStream(bytes))
+  def decode(bytes: Array[Byte]): BufferedImage = {
+    // sniff the two supported containers by magic bytes (PNG \x89PNG, JPEG
+    // \xFF\xD8) — direct SPI dispatch, no registry monitor
+    val spi =
+      if (bytes.length > 1 && (bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8) jpegReaderSpi
+      else pngReaderSpi
+    val reader =
+      if (spi eq jpegReaderSpi) jpegReaderTL.get() else pngReaderTL.get()
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(new ByteArrayInputStream(bytes))
+    reader.setInput(iis)
+    val img = reader.read(0)
+    reader.reset()
+    iis.close()
+    img
+  }
 
   /** 8×8 block-mean luma hash (aHash): bit i set iff block mean > global
     * mean. Row-major from top-left, bit 63 = first block. */
   def phash(img: BufferedImage): Long = {
     val means = new Array[Double](64)
     val w = img.getWidth; val h = img.getHeight
+    // fast path: direct 3-byte raster (our render + standard jpeg/png
+    // decoders produce TYPE_3BYTE_BGR); fall back to getRGB otherwise
+    val fast = img.getType == BufferedImage.TYPE_3BYTE_BGR
+    val data: Array[Byte] =
+      if (fast) img.getRaster.getDataBuffer.asInstanceOf[java.awt.image.DataBufferByte].getData
+      else null
+    def luma(x: Int, y: Int): Double =
+      if (fast) {
+        val o = (y * w + x) * 3
+        0.299 * (data(o + 2) & 0xFF) + 0.587 * (data(o + 1) & 0xFF) + 0.114 * (data(o) & 0xFF)
+      } else {
+        val rgb = img.getRGB(x, y)
+        0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+      }
     var by = 0
     while (by < 8) {
       var bx = 0
@@ -105,8 +168,7 @@ object Images {
         while (y < math.min(y1, h)) {
           var x = x0
           while (x < math.min(x1, w)) {
-            val rgb = img.getRGB(x, y)
-            sum += 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+            sum += luma(x, y)
             n += 1; x += 1
           }
           y += 1

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming twin of the batch window query (q23): the same
+  * tumbling-window aggregation expressed as a stream over the events parquet
+  * (readStream + watermark + window + memory sink) must produce the batch
+  * answers. The reference has no streaming semantics (SURVEY §2.9) — this is
+  * the Spark-native extension point for unbounded inputs.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("streaming hourly window counts match batch q23") {
+    val dir = "/root/testdata/sf0.001"
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+
+    // readStream needs a directory source; the testdata table is a single
+    // file — stage it into a temp dir (the stream "arrival" directory)
+    val streamDir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("part-0.parquet"))
+
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+      // parquet ts is TIMESTAMP_NTZ; watermarks require TIMESTAMP (session
+      // tz is UTC, so the instant is unchanged)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), min("value").as("min_v"), max("value").as("max_v"))
+      .select(unix_timestamp(col("w.start")).as("win_start"), col("event_type"),
+        col("n"), col("min_v"), col("max_v"))
+
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("win_counts")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val streamed = spark.table("win_counts")
+      .orderBy("win_start", "event_type")
+      .collect().map(_.toSeq).toSeq
+    val batch = Queries.q23WindowCounts(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+  }
+}
