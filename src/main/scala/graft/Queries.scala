@@ -520,6 +520,54 @@ object Queries {
       .orderBy("g")
   }
 
+  /** IVF-style ANN — the scale path for similarity search: partition vectors
+    * into coarse buckets (nearest of 16 seed centroids by dot product),
+    * probe the 4 best buckets per query, exact top-3 within probed buckets.
+    * Deterministic (seed centroids = vec_id < 16, ties by id), so the oracle
+    * recomputes it exactly; at 100 TB the bucket assignment becomes the
+    * table's partition key and each query touches nprobe partitions instead
+    * of a full scan. */
+  def q33AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val dot = udf((a: Seq[Double], b: Seq[Double]) => {
+      var s = 0.0
+      var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    })
+    // bucket assignment: nearest centroid by dot (ties → smaller cent_id)
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("cdot").desc, col("cent_id").asc)
+    val assigned = emb.join(broadcast(cents))
+      .withColumn("cdot", dot(col("v"), col("cv")))
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("v"), col("cent_id").as("bucket"))
+
+    // query probes: 4 nearest centroids per query
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val wProbe = Window.partitionBy("query_id").orderBy(col("cdot").desc, col("cent_id").asc)
+    val probes = queries.join(broadcast(cents))
+      .withColumn("cdot", dot(col("qv"), col("cv")))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter(col("prank") <= 4)
+      .select(col("query_id"), col("qv"), col("cent_id").as("bucket"))
+
+    // search only probed buckets (equi-join on bucket = partition pruning)
+    val wTop = Window.partitionBy("query_id").orderBy(col("qdot").desc, col("vec_id").asc)
+    probes.join(assigned, Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("qdot", dot(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
   // ---------------- events: windows / sessions ----------------
 
   /** Tumbling 1-hour windows per event type (batch twin of the streaming

@@ -48,6 +48,7 @@ object SparkEntry {
     "q30_simplify" -> (Queries.q30Simplify _), // rows-only: VW not SQL-expressible
     "q31_munge" -> (Queries.q31Munge _),
     "q32_parse_wkt" -> (Queries.q32ParseWkt _),
+    "q33_ann_ivf" -> (Queries.q33AnnIvf _),
   )
 
   // ---------------- oracle SQL ----------------
@@ -318,5 +319,30 @@ object SparkEntry {
          |  '{"coordinates":[' || ((id % 360) - 180) || '.0,' || ((id % 180) - 90)
          |    || '.0],"type":"Point"}' AS gj
          |FROM pts ORDER BY id""".stripMargin,
+
+    "q33_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16),
+        |assign AS (
+        |  SELECT vec_id, v, cent_id AS bucket FROM (
+        |    SELECT e.vec_id, e.v, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_dot_product(e.v, c.cv) DESC, c.cent_id ASC) AS crank
+        |    FROM e CROSS JOIN c) WHERE crank = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+        |probes AS (
+        |  SELECT query_id, qv, cent_id AS bucket FROM (
+        |    SELECT q.query_id, q.qv, c.cent_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_dot_product(q.qv, c.cv) DESC, c.cent_id ASC) AS prank
+        |    FROM q CROSS JOIN c) WHERE prank <= 4),
+        |scored AS (
+        |  SELECT p.query_id, a.vec_id,
+        |    row_number() OVER (PARTITION BY p.query_id
+        |      ORDER BY list_dot_product(p.qv, a.v) DESC, a.vec_id ASC) AS rank
+        |  FROM probes p JOIN assign a ON p.bucket = a.bucket
+        |  WHERE a.vec_id != p.query_id)
+        |SELECT query_id, rank, vec_id AS neighbor_id FROM scored WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
   )
 }

@@ -59,6 +59,61 @@ object GeoqCli {
       case "measure-distance" :: q :: Nil =>
         val p = Entity.parseLine(q).head.geom.asInstanceOf[org.locationtech.jts.geom.Point]
         emit(GeoOps.collectOrdered(GeoOps.measureDistance(feats, p)))
+      case "measure-coord-count" :: Nil =>
+        emit(GeoOps.collectOrdered(GeoOps.coordCount(feats))
+          .map(_.toString))
+      case "bbox" :: Nil =>
+        emit(GeoOps.collectOrdered(GeoOps.bboxPolygons(feats)))
+      case "bbox-all" :: Nil =>
+        val (minX, minY, maxX, maxY) = GeoOps.bboxAll(feats)
+        println(graft.geom.Geo.geometryJsonString(graft.geom.Geo.boxPolyTR(minX, minY, maxX, maxY)))
+      case "filter-dwithin" :: q :: r :: Nil =>
+        val queries = Entity.parseLine(q).map(_.geom)
+        emit(GeoOps.collectOrdered(
+          GeoOps.filterDwithin(feats, queries, r.toDouble)
+            .map(f => (f.rowId, f.subIdx, f.raw))(
+              feats.sparkSession.implicits.newProductEncoder)))
+      case "json-munge" :: Nil =>
+        import spark.implicits._
+        val ds = spark.createDataset(lines.zipWithIndex.map { case (l, i) => (i.toLong, l) })
+        emit(GeoOps.collectOrdered(graft.ops.Munge.munge(ds)))
+      case "simplify" :: eps :: rest =>
+        import spark.implicits._
+        val target = rest match {
+          case "--to-coord-count" :: n :: Nil => Some(n.toInt)
+          case _ => None
+        }
+        emit(GeoOps.collectOrdered(feats.map { f =>
+          val g = graft.geom.Geo.fromWkb(f.wkb)
+          val s = target match {
+            case Some(t) => graft.ops.Simplify.simplifyToCount(g, eps.toDouble, t)
+            case None    => graft.ops.Simplify.simplify(g, eps.toDouble)
+          }
+          (f.rowId, f.subIdx, graft.geom.Geo.featureJsonString(s,
+            graft.geom.Json.parseObject(f.props)))
+        }))
+      case "gh-encode-long" :: Nil =>
+        lines.foreach(l => println(graft.index.Geohash.encodeLong(
+          java.lang.Long.parseUnsignedLong(l.trim))))
+      case "h3-to-str" :: Nil =>
+        lines.foreach(l => println(graft.index.H3.toPaddedString(
+          java.lang.Long.parseUnsignedLong(l.trim))))
+      case "h3-from-str" :: Nil =>
+        lines.foreach { l =>
+          val cell = graft.index.H3.fromString(l.trim)
+          if (!graft.index.H3.isValidCell(cell))
+            throw graft.core.GeoqException(s"Invalid h3 cell: $l")
+          println(java.lang.Long.toUnsignedString(cell))
+        }
+      case "h3-resolution" :: Nil =>
+        lines.foreach(l => println(graft.index.H3.resolution(graft.index.H3.fromString(l.trim))))
+      case "h3-parent" :: res :: Nil =>
+        lines.foreach(l => println(graft.index.H3.toString(
+          graft.index.H3.cellToParent(graft.index.H3.fromString(l.trim), res.toInt))))
+      case "h3-children" :: res :: Nil =>
+        lines.foreach(l => graft.index.H3.cellToChildren(
+          graft.index.H3.fromString(l.trim), res.toInt)
+          .foreach(c => println(graft.index.H3.toString(c))))
       case other =>
         System.err.println(s"unknown command: ${other.mkString(" ")}")
         sys.exit(2)

@@ -34,6 +34,18 @@ object PlanDump {
             println(s"bits=$bits rows=${r.length} sample=${r.take(3).mkString(",")}")
             println(s"bits=$bits checksum=${r.map { case (a, b, c) => a * 31 + b * 7 + c }.sum}")
           }
+        case "cluster-probe" :: dir :: Nil =>
+          // write the derived points hilbert-clustered, then run a bbox scan
+          // and report rows + the physical plan's pushed filters
+          val out = java.nio.file.Files.createTempDirectory("clustered").toString
+          graft.sources.TableIO.writeClustered(
+            graft.Queries.pts(spark, dir), out, "lon", "lat", buckets = 16)
+          val q = graft.sources.TableIO.readBbox(spark, out, -10, -10, 10, 10)
+          println(s"bbox rows: ${q.count()}")
+          val scan = q.queryExecution.executedPlan.toString
+          println(scan.split('\n').filter(_.contains("PushedFilters")).mkString("\n"))
+          val files = new java.io.File(out).listFiles().count(_.getName.endsWith(".parquet"))
+          println(s"files written: $files")
         case name :: dir :: Nil =>
           SparkEntry.queriesByName(name)(spark, dir).explain("formatted")
         case other =>
