@@ -290,16 +290,19 @@ object Queries {
       .orderBy("doc_id")
   }
 
-  /** MinHash LSH near-dup pairs: 4 bands × 2 rows; candidate pairs where any
+  /** MinHash LSH near-dup pairs: 2 bands × 4 rows; candidate pairs where any
     * band collides, with the signature-agreement count (est. Jaccard × 8).
-    * The LSH band join is the scale path: equi-join on (band, hash-pair)
-    * keys instead of an O(n²) similarity scan. */
+    * The LSH band join is the scale path: equi-join on (band, hash-tuple)
+    * keys instead of an O(n²) similarity scan. 4-row bands keep the
+    * candidate set near-dup-only (2-row bands admitted quadratic noise on
+    * template-heavy text). */
   def q19MinhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val sigs = q18MinhashSig(spark, dir)
-    val bands = (0 until 4).map { b =>
+    val bands = (0 until 2).map { b =>
       sigs.select(col("doc_id"),
         lit(b).as("band"),
-        concat_ws(":", col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("bkey"))
+        concat_ws(":", col(s"m${4 * b}"), col(s"m${4 * b + 1}"),
+          col(s"m${4 * b + 2}"), col(s"m${4 * b + 3}")).as("bkey"))
     }.reduce(_ union _)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&

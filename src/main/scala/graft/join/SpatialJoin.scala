@@ -130,6 +130,37 @@ object SpatialJoin {
     phase1.unionByName(phase2)
   }
 
+  /** Salted variant of the cell-keyed join for skewed data (north rule:
+    * "salted repartition of hot cells"). Real-world anchors concentrate in
+    * hot cells (cities); a plain equi-join puts an entire hot cell in one
+    * task. Points get a random-but-deterministic salt in [0, salts); each
+    * box cell is replicated across ALL salts — the classic explode-small-
+    * side salting. Same results as [[joinPointsInBoxes]] (verified in
+    * SpatialJoinSpec); the hot cell now spreads over `salts` tasks.
+    * AQE skew-join handles moderate skew automatically; explicit salting is
+    * for the pathological keys AQE can't split (single-key hotspots inside
+    * one shuffle partition). */
+  def joinPointsInBoxesSalted(left: DataFrame, right: DataFrame,
+                              bits: Int = 6, salts: Int = 8): DataFrame = {
+    val l = 1L << bits
+    val (pcx, pcy) = cellCols(col("lon"), col("lat"), bits)
+    val pts = left.withColumn("cx", pcx).withColumn("cy", pcy)
+      // deterministic salt (xxhash64 of id) keeps runs reproducible
+      .withColumn("salt", pmod(xxhash64(col("id")), lit(salts)).cast("int"))
+
+    val (bx0, by0) = cellCols(col("minx"), col("miny"), bits)
+    val (bx1, by1) = cellCols(col("maxx"), col("maxy"), bits)
+    val boxes = right
+      .withColumn("cx", explode(sequence(bx0, bx1)))
+      .withColumn("cy", explode(sequence(by0, by1)))
+      .withColumn("salt", explode(array((0 until salts).map(lit): _*)))
+
+    pts.join(boxes, Seq("cx", "cy", "salt"))
+      .filter(col("lon") >= col("minx") && col("lon") <= col("maxx") &&
+        col("lat") >= col("miny") && col("lat") <= col("maxy"))
+      .select(col("id"), col("rid"))
+  }
+
   /** Entity-level spatial semi-join at scale: keep left features whose
     * geometry intersects ANY right geometry. Covering-cell equi-join →
     * dedupe → exact JTS refine → left-semi. Same keep/drop decisions as

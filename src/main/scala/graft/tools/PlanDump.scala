@@ -34,6 +34,25 @@ object PlanDump {
             println(s"bits=$bits rows=${r.length} sample=${r.take(3).mkString(",")}")
             println(s"bits=$bits checksum=${r.map { case (a, b, c) => a * 31 + b * 7 + c }.sum}")
           }
+        case "salt-probe" :: dir :: Nil =>
+          // skewed join: plain vs salted must agree; print the salted plan's
+          // join keys to show the salt participates in the shuffle
+          import spark.implicits._
+          val pts = spark.range(200000).map { i =>
+            if (i % 10 != 0) (i, 10.001 + (i % 97) * 1e-6, 45.001 + (i % 89) * 1e-6)
+            else (i, -170.0 + (i % 340).toDouble, -80.0 + (i % 160).toDouble)
+          }.toDF("id", "lon", "lat")
+          val boxes = Seq((1L, 9.0, 44.0, 11.0, 46.0), (2L, -100.0, -50.0, -60.0, 0.0))
+            .toDF("rid", "minx", "miny", "maxx", "maxy")
+          def t(f: => Long): (Long, Double) = {
+            val s = System.nanoTime(); val n = f; (n, (System.nanoTime() - s) / 1e9)
+          }
+          val (nPlain, tPlain) = t(graft.join.SpatialJoin.joinPointsInBoxes(pts, boxes).count())
+          val (nSalt, tSalt) = t(graft.join.SpatialJoin.joinPointsInBoxesSalted(pts, boxes).count())
+          println(s"plain: $nPlain pairs in ${tPlain}s; salted: $nSalt pairs in ${tSalt}s; match=${nPlain == nSalt}")
+          val plan = graft.join.SpatialJoin.joinPointsInBoxesSalted(pts, boxes)
+            .queryExecution.executedPlan.toString
+          println(plan.split('\n').find(_.contains("Join")).getOrElse("no join line"))
         case "cluster-probe" :: dir :: Nil =>
           // write the derived points hilbert-clustered, then run a bbox scan
           // and report rows + the physical plan's pushed filters

@@ -1,0 +1,53 @@
+package graft
+
+import graft.join.SpatialJoin
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SpatialJoinSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("salted join produces identical pairs on skewed data") {
+    import spark.implicits._
+    // pathological skew: 90% of points in one tiny hot spot (one cell)
+    val pts = spark.range(5000).map { i =>
+      if (i % 10 != 0) (i, 10.001 + (i % 97) * 1e-6, 45.001 + (i % 89) * 1e-6)
+      else (i, -170.0 + (i % 340).toDouble, -80.0 + (i % 160).toDouble)
+    }.toDF("id", "lon", "lat")
+    val boxes = Seq(
+      (1L, 9.0, 44.0, 11.0, 46.0),   // covers the hot spot
+      (2L, -100.0, -50.0, -60.0, 0.0),
+      (3L, 150.0, 20.0, 179.0, 60.0))
+      .toDF("rid", "minx", "miny", "maxx", "maxy")
+
+    val plain = SpatialJoin.joinPointsInBoxes(pts, boxes)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val salted = SpatialJoin.joinPointsInBoxesSalted(pts, boxes, salts = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(plain == salted)
+    assert(plain.count(_._2 == 1L) > 4000) // the hot cell really is hot
+  }
+
+  test("filterIntersectsAtScale matches broadcast filter semantics") {
+    import spark.implicits._
+    val lines = Seq("34.2277,-118.2623", "12,34", "9q5",
+      "LINESTRING (30 10, 10 30, 40 40)",
+      """{"type":"Point","coordinates":[125.6, 10.1]}""")
+    val feats = graft.ops.GeoOps.parseStrings(spark, lines)
+    val left = feats.toDF().select(col("rowId").as("id"), col("wkb"))
+    val queries = graft.core.Entity.parseLine("9q5").map(_.geom)
+    val right = Seq((0L, graft.geom.Geo.toWkb(queries.head))).toDF("id", "wkb")
+
+    val atScale = SpatialJoin.filterIntersectsAtScale(left, right, level = 3)
+      .select("id").as[Long].collect().sorted.toSeq
+    val broadcastPath = graft.ops.GeoOps.filterIntersects(feats, queries)
+      .map(_.rowId).collect().sorted.toSeq
+    assert(atScale == broadcastPath)
+    assert(atScale.nonEmpty)
+  }
+}
