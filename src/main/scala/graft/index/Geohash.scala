@@ -189,6 +189,73 @@ object Geohash {
   def lonBitsFor(len: Int): Int = (5 * len + 1) / 2
   def latBitsFor(len: Int): Int = (5 * len) / 2
 
+  // ---- packed cell ids: the engine's hot-path representation ----
+  // 64-bit layout: level(4) | lonIdx(30) | latIdx(30). String geohashes are
+  // for I/O and golden boundaries; joins/aggregations on packed longs avoid
+  // per-row string garbage (measured: the string path's allocation rate is
+  // the many-core scaling limiter) and hash faster.
+
+  def packCell(lonIdx: Long, latIdx: Long, level: Int): Long =
+    (level.toLong << 60) | (lonIdx << 30) | latIdx
+
+  def packedLevel(cell: Long): Int = ((cell >>> 60) & 0xF).toInt
+  def packedLonIdx(cell: Long): Long = (cell >>> 30) & ((1L << 30) - 1)
+  def packedLatIdx(cell: Long): Long = cell & ((1L << 30) - 1)
+
+  def packedCellOf(lat: Double, lon: Double, level: Int): Long = {
+    val lonCells = 1L << lonBitsFor(level)
+    val latCells = 1L << latBitsFor(level)
+    val li = math.min(math.floor((lon + 180.0) / 360.0 * lonCells).toLong, lonCells - 1)
+    val ai = math.min(math.floor((lat + 90.0) / 180.0 * latCells).toLong, latCells - 1)
+    packCell(li, ai, level)
+  }
+
+  /** Same cell as `encode(lat, lon, level)`, as a string. */
+  def packedToBase32(cell: Long): String = {
+    val level = packedLevel(cell)
+    fromIndices(packedLonIdx(cell), packedLatIdx(cell), level)
+  }
+
+  /** Tile pyramid levels 1..maxLevel as packed ids (no allocation beyond
+    * the result array). */
+  def packedPyramid(lat: Double, lon: Double, maxLevel: Int): Array[Long] = {
+    val out = new Array[Long](maxLevel)
+    var l = 1
+    while (l <= maxLevel) {
+      out(l - 1) = packedCellOf(lat, lon, l)
+      l += 1
+    }
+    out
+  }
+
+  /** 3×3 neighbor ring (incl. self) at `level` as packed ids — index
+    * arithmetic (lon wraps, lat clamps at the poles), the engine's
+    * kNN/dwithin candidate primitive. */
+  def packedRing(lat: Double, lon: Double, level: Int): Array[Long] = {
+    val lonCells = 1L << lonBitsFor(level)
+    val latCells = 1L << latBitsFor(level)
+    val c = packedCellOf(lat, lon, level)
+    val li = packedLonIdx(c)
+    val ai = packedLatIdx(c)
+    val out = new Array[Long](9)
+    var n = 0
+    var dy = -1
+    while (dy <= 1) {
+      val ay = ai + dy
+      if (ay >= 0 && ay < latCells) {
+        var dx = -1
+        while (dx <= 1) {
+          val lx = (li + dx + lonCells) % lonCells
+          out(n) = packCell(lx, ay, level)
+          n += 1
+          dx += 1
+        }
+      }
+      dy += 1
+    }
+    if (n == 9) out else java.util.Arrays.copyOf(out, n)
+  }
+
   /** u64 → 12-char geohash, 5 bits per char from the LSB end
     * (reference `src/geoq/geohash.rs:85-97`). */
   def encodeLong(x: Long): String = {

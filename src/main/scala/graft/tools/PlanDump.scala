@@ -34,6 +34,24 @@ object PlanDump {
             println(s"bits=$bits rows=${r.length} sample=${r.take(3).mkString(",")}")
             println(s"bits=$bits checksum=${r.map { case (a, b, c) => a * 31 + b * 7 + c }.sum}")
           }
+        case "imageops-probe" :: dir :: Nil =>
+          // extract features from a live image table, run the near-dup scan,
+          // and cross-check packed cells vs string geohashes on real anchors
+          val imgs = graft.Queries.imageTable(spark, 500)
+          val feats = graft.img.ImageOps.extract(imgs).cache()
+          println(s"features: ${feats.count()} rows")
+          feats.select("image_id", "fmt", "luma_hist").show(3, truncate = false)
+          val pairs = graft.img.ImageOps.nearDupPairs(feats, maxL1 = 300, bits = 2)
+          println(s"near-dup pairs (L1<=300): ${pairs.count()}")
+          import spark.implicits._
+          val mismatches = feats.select("lon", "lat").as[(Double, Double)]
+            .map { case (lon, lat) =>
+              val packed = graft.index.Geohash.packedToBase32(
+                graft.index.Geohash.packedCellOf(lat, lon, 5))
+              val direct = graft.index.Geohash.encode(lat, lon, 5)
+              if (packed == direct) 0 else 1
+            }.reduce(_ + _)
+          println(s"packed-vs-string cell mismatches: $mismatches")
         case "salt-probe" :: dir :: Nil =>
           // skewed join: plain vs salted must agree; print the salted plan's
           // join keys to show the salt participates in the shuffle
