@@ -34,6 +34,24 @@ object PlanDump {
             println(s"bits=$bits rows=${r.length} sample=${r.take(3).mkString(",")}")
             println(s"bits=$bits checksum=${r.map { case (a, b, c) => a * 31 + b * 7 + c }.sum}")
           }
+        case "rtree-probe" :: path :: Nil =>
+          // live: parse a line-delimited GeoJSON layer, hilbert-sort, build
+          // the packed R-tree, run a bbox select — the FGB read/write path
+          val lines = scala.io.Source.fromFile(path).getLines().toSeq
+          val feats = lines.flatMap(graft.core.Entity.parseLine)
+          val boxes = feats.map(f => graft.geom.Geo.bbox(f.geom))
+          val ext = boxes.reduce((a, b) => (math.min(a._1, b._1), math.min(a._2, b._2),
+            math.max(a._3, b._3), math.max(a._4, b._4)))
+          val leaves = boxes.zipWithIndex.sortBy { case (b, _) =>
+            graft.index.Hilbert.hilbertBbox((b._1 + b._3) / 2, (b._2 + b._4) / 2,
+              ext._1, ext._2, ext._3, ext._4)
+          }.map { case (b, i) => graft.ops.PackedRTree.Node(b._1, b._2, b._3, b._4, i.toLong) }
+            .toIndexedSeq
+          val (meta, tree) = graft.ops.PackedRTree.build(leaves)
+          println(s"features=${feats.size} nodes=${meta.numNodes} levels=${meta.nodesPerLevel}")
+          val hits = graft.ops.PackedRTree.search(meta, tree, 8.8, 47.2, 9.5, 55.3)
+          println(s"bbox(8.8,47.2,9.5,55.3) hits=${hits.size}")
+          println(s"index bytes=${graft.ops.PackedRTree.serialize(tree).length}")
         case "imageops-probe" :: dir :: Nil =>
           // extract features from a live image table, run the near-dup scan,
           // and cross-check packed cells vs string geohashes on real anchors
