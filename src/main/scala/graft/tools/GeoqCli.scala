@@ -46,15 +46,15 @@ object GeoqCli {
       case "gh-covering" :: l :: rest =>
         emit(GeoOps.collectOrdered(GeoOps.ghCovering(feats, l.toInt, echo = rest.contains("-o"))))
       case "gh-roots" :: Nil => graft.index.Geohash.BASE32.foreach(println)
-      case "filter-intersects" :: q :: Nil =>
-        val queries = Entity.parseLine(q).map(_.geom)
+      case "filter-intersects" :: rest =>
+        val (queries, negate) = filterArgs(rest)
         emit(GeoOps.collectOrdered(
-          GeoOps.filterIntersects(feats, queries).map(f => (f.rowId, f.subIdx, f.raw))(
+          GeoOps.filterIntersects(feats, queries, negate).map(f => (f.rowId, f.subIdx, f.raw))(
             feats.sparkSession.implicits.newProductEncoder)))
-      case "filter-contains" :: q :: Nil =>
-        val queries = Entity.parseLine(q).map(_.geom)
+      case "filter-contains" :: rest =>
+        val (queries, negate) = filterArgs(rest)
         emit(GeoOps.collectOrdered(
-          GeoOps.filterContains(feats, queries).map(f => (f.rowId, f.subIdx, f.raw))(
+          GeoOps.filterContains(feats, queries, negate).map(f => (f.rowId, f.subIdx, f.raw))(
             feats.sparkSession.implicits.newProductEncoder)))
       case "measure-distance" :: q :: Nil =>
         val p = Entity.parseLine(q).head.geom.asInstanceOf[org.locationtech.jts.geom.Point]
@@ -118,5 +118,23 @@ object GeoqCli {
         System.err.println(s"unknown command: ${other.mkString(" ")}")
         sys.exit(2)
     }
+  }
+
+  /** Filter arg parsing mirroring the reference: the query is an inline
+    * entity arg or `--query-file <path>` (file lines parsed by the same
+    * entity reader, `commands/filter.rs:6-29`); `--negate` may appear
+    * before or after (`filter.rs:110-119`). */
+  private def filterArgs(rest: List[String]): (Seq[org.locationtech.jts.geom.Geometry], Boolean) = {
+    val negate = rest.contains("--negate")
+    val args = rest.filterNot(_ == "--negate")
+    val queries = args match {
+      case "--query-file" :: path :: Nil =>
+        scala.io.Source.fromFile(path).getLines().toSeq
+          .filter(_.nonEmpty).flatMap(Entity.parseLine).map(_.geom)
+      case q :: Nil => Entity.parseLine(q).map(_.geom)
+      case other =>
+        System.err.println(s"bad filter args: $other"); sys.exit(2)
+    }
+    (queries, negate)
   }
 }
