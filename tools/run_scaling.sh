@@ -11,9 +11,13 @@ PAIRS="${3:-3}"
 mkdir -p "$DIR/BENCH" /dev/shm/spark-local
 
 run() {
+  # pin the JVM to a fixed cpuset (0..N-1): reduces host scheduler
+  # migration noise between the two parallelism levels
+  local cores=$1
+  local last=$((cores - 1))
   GEOQ_MAIN=graft.bench.Scaling GEOQ_XMX=24g GEOQ_ROUNDS=1 GEOQ_REPL=32 \
     JAVA_TOOL_OPTIONS="-Dspark.local.dir=/dev/shm/spark-local" \
-    "$DIR/bin/geoq-spark" "$1" "$ROWS" "$SF" 2>/dev/null | tail -1
+    taskset -c 0-$last "$DIR/bin/geoq-spark" "$cores" "$ROWS" "$SF" 2>/dev/null | tail -1
 }
 
 LOG=$(mktemp)
