@@ -1,6 +1,6 @@
 package graft.ckpt
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
@@ -9,16 +9,24 @@ import scala.jdk.CollectionConverters._
   * "checkpoints per-partition lineage + row/byte metrics to resume mid-job").
   *
   * A long job over a huge table is split into `nBatches` deterministic
-  * buckets of the input (pmod(xxhash64(key), n)). Each batch is one Spark
-  * job writing `out/batch=K/` followed by an atomic marker
+  * buckets of the input (pmod(xxhash64(key), n)), written as parquet
+  * partitions `batch=K/`, each published by an atomic marker
   * `out/_ckpt/batch-K.json` carrying lineage (inputs, app id, predicate) and
-  * metrics (rows via Dataset.observe — no extra pass — bytes from the
-  * committed files). On restart, completed batches are skipped; the batch
-  * write itself is idempotent (overwrite of its own directory), so a crash
-  * mid-batch re-runs just that batch. This is the batch-native form of
-  * "resume from checkpoint" — per-partition lineage lives in the markers,
-  * not a streaming state store (the reference has no streaming semantics,
-  * SURVEY §2.9).
+  * metrics (rows from the committed parquet footers — metadata-only reads —
+  * bytes from the committed files).
+  *
+  * Scale shape: ALL missing buckets are written in ONE scan of the input
+  * (`partitionBy("batch")` + dynamic partition overwrite), so a fresh run
+  * reads the table exactly once — N sequential filtered scans would be N×
+  * read amplification at 100 TB. On restart, buckets with markers are
+  * dropped from the scan's filter and never rewritten; dynamic overwrite
+  * only replaces the partitions the pass actually touches.
+  *
+  * Crash granularity is per PASS (a crash mid-pass re-runs the whole
+  * missing set): `bucketsPerPass` trades read amplification for finer
+  * resume points — at 100 TB keep the default single pass and size
+  * `nBatches` to the downstream consumer, lowering `bucketsPerPass` only
+  * when the cost of a re-run pass exceeds an extra scan.
   */
 object Checkpointed {
 
@@ -31,46 +39,64 @@ object Checkpointed {
   /** Write `df` bucketed by `keyCol` into `nBatches` resumable batches.
     * Returns per-batch results (skipped = marker already present). */
   def write(df: DataFrame, keyCol: String, outDir: String, nBatches: Int,
-            lineageInputs: Seq[String] = Nil): Seq[BatchResult] = {
+            lineageInputs: Seq[String] = Nil,
+            bucketsPerPass: Int = Int.MaxValue): Seq[BatchResult] = {
     val spark = df.sparkSession
-    ObservedRows.ensureListener(spark)
     Files.createDirectories(Paths.get(outDir, "_ckpt"))
-    val bucketed = df.withColumn("_bucket", pmod(xxhash64(col(keyCol)), lit(nBatches)))
-    (0 until nBatches).map { b =>
-      val marker = markerPath(outDir, b)
-      if (Files.exists(marker)) {
-        val m = parseMarker(Files.readString(marker))
-        BatchResult(b, m.getOrElse("rows", 0L), m.getOrElse("bytes", 0L), 0L, skipped = true)
-      } else {
-        val t0 = System.nanoTime()
-        val batchDir = s"$outDir/batch=$b"
-        val observed = bucketed.filter(col("_bucket") === b).drop("_bucket")
-          .observe(s"ckpt_$b", count(lit(1)).as("rows"))
-        observed.write.mode("overwrite").parquet(batchDir)
-        val rows = lastObserved(spark, s"ckpt_$b")
-        val bytes = dirBytes(Paths.get(batchDir))
-        val wallMs = (System.nanoTime() - t0) / 1000000
+    val done = (0 until nBatches).filter(b => Files.exists(markerPath(outDir, b))).toSet
+    val missing = (0 until nBatches).filterNot(done)
+    val bucketed = df.withColumn("batch", pmod(xxhash64(col(keyCol)), lit(nBatches)))
+
+    val fresh = scala.collection.mutable.Map[Int, BatchResult]()
+    missing.grouped(math.max(1, bucketsPerPass)).foreach { pass =>
+      val t0 = System.nanoTime()
+      bucketed.filter(col("batch").isin(pass.map(b => java.lang.Long.valueOf(b.toLong)): _*))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch")
+        .parquet(outDir)
+      val wallMs = (System.nanoTime() - t0) / 1000000
+      pass.foreach { b =>
+        val batchDir = Paths.get(outDir, s"batch=$b")
+        val rows = footerRows(spark, batchDir)
+        val bytes = dirBytes(batchDir)
         val json =
           s"""{"batch":$b,"rows":$rows,"bytes":$bytes,"wallMs":$wallMs,
              |"lineage":{"appId":"${spark.sparkContext.applicationId}",
              |"keyCol":"$keyCol","nBatches":$nBatches,
+             |"passBatches":[${pass.mkString(",")}],
              |"predicate":"pmod(xxhash64($keyCol),$nBatches)=$b",
              |"inputs":[${lineageInputs.map(s => "\"" + s + "\"").mkString(",")}]}}""".stripMargin
         // atomic publish: write tmp then move — a crash before the move
         // leaves no marker and the batch re-runs
+        val marker = markerPath(outDir, b)
         val tmp = marker.resolveSibling(marker.getFileName.toString + ".tmp")
         Files.writeString(tmp, json)
         Files.move(tmp, marker, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        BatchResult(b, rows, bytes, wallMs, skipped = false)
+        fresh(b) = BatchResult(b, rows, bytes, wallMs, skipped = false)
       }
+    }
+
+    (0 until nBatches).map { b =>
+      fresh.getOrElse(b, {
+        val m = parseMarker(Files.readString(markerPath(outDir, b)))
+        BatchResult(b, m.getOrElse("rows", 0L), m.getOrElse("bytes", 0L), 0L, skipped = true)
+      })
     }
   }
 
-  private def lastObserved(spark: SparkSession, name: String): Long = {
-    // Dataset.observe metrics surface on the QueryExecution listener; for a
-    // synchronous batch write the simplest reliable channel is the
-    // observation registry via the listener below.
-    ObservedRows.get(name)
+  /** Committed row count from parquet footers — metadata-only, no data scan. */
+  private def footerRows(spark: org.apache.spark.sql.SparkSession, dir: Path): Long = {
+    if (!Files.exists(dir)) return 0L
+    val conf = spark.sparkContext.hadoopConfiguration
+    Files.list(dir).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .map { p =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(p.toUri), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
   }
 
   private def parseMarker(json: String): Map[String, Long] = {
@@ -93,41 +119,5 @@ object Checkpointed {
       .filter(_.getFileName.toString.endsWith(".json"))
       .sortBy(_.getFileName.toString)
       .map(p => Files.readString(p))
-  }
-}
-
-/** Captures Dataset.observe metrics from completed queries. Registered
-  * lazily once per JVM. */
-object ObservedRows {
-  private val values = new java.util.concurrent.ConcurrentHashMap[String, Long]()
-  @volatile private var registered = false
-
-  def ensureListener(spark: SparkSession): Unit = synchronized {
-    if (!registered) {
-      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
-        override def onSuccess(funcName: String,
-                               qe: org.apache.spark.sql.execution.QueryExecution,
-                               durationNs: Long): Unit = {
-          qe.observedMetrics.foreach { case (name, row) =>
-            if (row.schema.fieldNames.contains("rows"))
-              values.put(name, row.getAs[Long]("rows"))
-          }
-        }
-        override def onFailure(funcName: String,
-                               qe: org.apache.spark.sql.execution.QueryExecution,
-                               exception: Exception): Unit = ()
-      })
-      registered = true
-    }
-  }
-
-  def get(name: String): Long = {
-    // listener delivery is async; wait briefly
-    var tries = 0
-    while (!values.containsKey(name) && tries < 100) {
-      Thread.sleep(20)
-      tries += 1
-    }
-    values.getOrDefault(name, -1L)
   }
 }

@@ -18,25 +18,34 @@ package graft.geom
 object Num {
   /** (digits, decimalExponent) such that value = 0.d1d2... * 10^exp, i.e.
     * digits with an implied decimal point before the first digit.
+    *
+    * Locale.ROOT is load-bearing: the default-locale overload renders the
+    * mantissa with a comma on e.g. de_DE, which both breaks the parse-back
+    * probe and would leak into every WKT/GeoJSON/distance output.
+    *
+    * Round-trippability is monotone in the digit count (more digits = closer
+    * approximation), so the smallest round-tripping precision is found by
+    * binary search — ≤5 format+parse probes instead of up to 17.
     */
   private def shortest(d: Double): (String, Int) = {
-    var p = 1
-    while (p <= 17) {
-      val s = String.format("%." + (p - 1) + "e", Double.box(d))
-      if (java.lang.Double.parseDouble(s) == d) {
-        val ei = s.indexOf('e')
-        val mant = s.substring(0, ei).replace("-", "").replace(".", "")
-        // strip trailing zeros the %e padding may have added
-        val trimmed = {
-          val t = mant.reverse.dropWhile(_ == '0').reverse
-          if (t.isEmpty) "0" else t
-        }
-        val exp = s.substring(ei + 1).toInt + 1
-        return (trimmed, exp)
-      }
-      p += 1
+    def fmt(p: Int): String =
+      String.format(java.util.Locale.ROOT, "%." + (p - 1) + "e", Double.box(d))
+    var lo = 1
+    var hi = 17 // 17 significant digits always round-trip a finite double
+    while (lo < hi) {
+      val mid = (lo + hi) / 2
+      if (java.lang.Double.parseDouble(fmt(mid)) == d) hi = mid else lo = mid + 1
     }
-    ("0", 1) // unreachable for finite doubles
+    val s = fmt(lo)
+    val ei = s.indexOf('e')
+    val mant = s.substring(0, ei).replace("-", "").replace(".", "")
+    // strip trailing zeros the %e padding may have added
+    val trimmed = {
+      val t = mant.reverse.dropWhile(_ == '0').reverse
+      if (t.isEmpty) "0" else t
+    }
+    val exp = s.substring(ei + 1).toInt + 1
+    (trimmed, exp)
   }
 
   private def plain(digits: String, exp: Int, neg: Boolean, forceDot: Boolean): String = {

@@ -20,7 +20,8 @@ object Relations {
 
   def containsPoly(outer: Polygon, inner: Geometry): Boolean = inner match {
     case gc: GeometryCollection if gc.getClass == classOf[GeometryCollection] =>
-      if (gc.getNumGeometries == 0) return false
+      // empty GC: vacuously true — reproduces the reference's
+      // `gc.0.iter().all(...)` bug-for-bug (`src/geoq/contains.rs:14-16`)
       (0 until gc.getNumGeometries).forall(i => containsPoly(outer, gc.getGeometryN(i)))
     case g => outer.contains(g)
   }

@@ -32,7 +32,11 @@ object SchemaUnion {
     case _          => Some(PJson) // arrays + objects
   }
 
-  /** The widening lattice (header.rs:107-126). */
+  /** The widening lattice. Deliberate deviation from the reference: its
+    * single-pass fold (header.rs:107-126) is order-ASYMMETRIC
+    * (current=Double + new=Long stays Double, but current=Long + new=Double
+    * widens to Json); a distributed merge needs a commutative/associative
+    * operator, so both Long/Double orders widen to Double here. */
   def widen(a: PropType, b: PropType): PropType =
     if (a == b) a
     else (a, b) match {

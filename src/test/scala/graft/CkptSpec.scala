@@ -43,6 +43,32 @@ class CkptSpec extends AnyFunSuite {
     assert(reports.exists(_.contains("synthetic:range(1000)")))
   }
 
+  test("fresh write reads the input exactly once (single-pass partitionBy)") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("ckpt_in").toString
+    spark.range(1000).map(i => (i, s"row$i")).toDF("id", "v")
+      .write.mode("overwrite").parquet(in)
+    val table = spark.read.parquet(in)
+
+    @volatile var recordsRead = 0L
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          recordsRead += t.taskMetrics.inputMetrics.recordsRead
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val out = Files.createTempDirectory("ckpt3").toString
+      val res = Checkpointed.write(table, "id", out, nBatches = 8)
+      assert(res.map(_.rows).sum == 1000)
+      // listener delivery is async; poll until the metric stabilizes
+      val deadline = System.nanoTime() + 10000000000L
+      while (recordsRead < 1000 && System.nanoTime() < deadline) Thread.sleep(50)
+      // one pass = exactly 1000 input rows; the per-batch-scan design read 8000
+      assert(recordsRead == 1000, s"expected single scan (1000 rows), read $recordsRead")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("marker publish is atomic (no tmp files left)") {
     import spark.implicits._
     val out = Files.createTempDirectory("ckpt2").toString
