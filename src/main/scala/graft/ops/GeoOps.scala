@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.core.{Entity, GeoqException}
 import graft.geom._
-import graft.index.{Geohash, Hilbert}
+import graft.index.{Geohash, H3, H3Geo, Hilbert}
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.locationtech.jts.geom.{Geometry, Point, Polygon}
 
@@ -174,6 +174,60 @@ object GeoOps {
 
   private def requireGeohash(f: FeatureRow): Unit =
     if (f.kind != Entity.GeohashK) throw GeoqException("NotImplemented: geohash op on non-geohash")
+
+  // ---- H3 cell operators ----
+
+  /** `geoq h3 point <res>`: Point-only encode (`commands/h3.rs:43-52`). */
+  def h3Point(feats: Dataset[FeatureRow], res: Int): Dataset[(Long, Int, String)] = {
+    import feats.sparkSession.implicits._
+    feats.map { f =>
+      Geo.fromWkb(f.wkb) match {
+        case p: Point => (f.rowId, f.subIdx, H3.toString(H3.latLngToCell(p.getY, p.getX, res)))
+        case _ => throw GeoqException("Input for 'geoq h3 point' should be a Point geometry")
+      }
+    }
+  }
+
+  /** `geoq h3 hierarchy`: Point → its 16 cells, res 0..15 (`h3.rs:162-174`). */
+  def h3Hierarchy(feats: Dataset[FeatureRow]): Dataset[(Long, Int, String)] = {
+    import feats.sparkSession.implicits._
+    feats.flatMap { f =>
+      Geo.fromWkb(f.wkb) match {
+        case p: Point =>
+          (0 to 15).map(r => (f.rowId, f.subIdx * 16 + r, H3.toString(H3.latLngToCell(p.getY, p.getX, r))))
+        case _ => throw GeoqException("Input for 'geoq h3 hierarchy' should be a Point geometry")
+      }
+    }
+  }
+
+  /** `geoq h3 grid-disk [k]`: H3 entities only, k-ring incl. self
+    * (`h3.rs:233-272`). Origin first, then rings (set-equal to the C
+    * library; FIXTURES.md). */
+  def h3GridDisk(feats: Dataset[FeatureRow], k: Int): Dataset[(Long, Int, String)] = {
+    import feats.sparkSession.implicits._
+    feats.flatMap { f =>
+      if (f.kind != Entity.H3Cell)
+        throw GeoqException(s"geoq h3 grid-disk requires H3 cell strings as inputs -- got ${f.raw}")
+      H3Geo.gridDisk(H3.fromString(f.raw), k).zipWithIndex.map { case (c, i) =>
+        (f.rowId, f.subIdx * 1000000 + i, H3.toString(c))
+      }
+    }
+  }
+
+  /** `geoq h3 covering <res> [-o] [--compact]` (`h3.rs:505-548`): covering
+    * cells per geometry kind; unordered in the reference (HashSet), emitted
+    * here in ascending unsigned id order. */
+  def h3Covering(feats: Dataset[FeatureRow], res: Int, echo: Boolean,
+                 compact: Boolean): Dataset[(Long, Int, String)] = {
+    import feats.sparkSession.implicits._
+    feats.flatMap { f =>
+      val cells = graft.index.H3Cover.geomCells(Geo.fromWkb(f.wkb), res)
+      val emitted = graft.index.H3Cover.ordered(
+        if (compact) graft.index.H3Cover.compact(cells) else cells)
+      val out = if (echo) f.raw +: emitted.map(H3.toString) else emitted.map(H3.toString)
+      out.zipWithIndex.map { case (c, i) => (f.rowId, f.subIdx * 1000000 + i, c) }
+    }
+  }
 
   // ---- filters: stream × broadcast-query-set semi-joins ----
 

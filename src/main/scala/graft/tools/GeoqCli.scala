@@ -13,7 +13,10 @@ import org.apache.spark.sql.SparkSession
   * Usage: runMain graft.tools.GeoqCli <cmd> [args...]   (stdin → stdout)
   * Cmds: read | wkt | gj-geom | gj-f | gj-fc | gh-point L | gh-children |
   *       gh-neighbors [-e] | gh-covering L [-o] | gh-roots | centroid |
-  *       filter-intersects Q | filter-contains Q | measure-distance Q
+  *       filter-intersects Q | filter-contains Q | measure-distance Q |
+  *       h3-point R | h3-hierarchy | h3-grid-disk [k] |
+  *       h3-covering R [-o] [--compact] | h3-parent R | h3-children R |
+  *       h3-resolution | h3-to-str | h3-from-str
   */
 object GeoqCli {
   def main(args: Array[String]): Unit = {
@@ -95,6 +98,16 @@ object GeoqCli {
       case "gh-encode-long" :: Nil =>
         lines.foreach(l => println(graft.index.Geohash.encodeLong(
           java.lang.Long.parseUnsignedLong(l.trim))))
+      case "h3-point" :: res :: Nil =>
+        emit(GeoOps.collectOrdered(GeoOps.h3Point(feats, res.toInt)))
+      case "h3-hierarchy" :: Nil =>
+        emit(GeoOps.collectOrdered(GeoOps.h3Hierarchy(feats)))
+      case "h3-grid-disk" :: rest =>
+        val k = rest.headOption.map(_.toInt).getOrElse(1)
+        emit(GeoOps.collectOrdered(GeoOps.h3GridDisk(feats, k)))
+      case "h3-covering" :: res :: rest =>
+        emit(GeoOps.collectOrdered(GeoOps.h3Covering(feats, res.toInt,
+          echo = rest.contains("-o"), compact = rest.contains("--compact"))))
       case "h3-to-str" :: Nil =>
         lines.foreach(l => println(graft.index.H3.toPaddedString(
           java.lang.Long.parseUnsignedLong(l.trim))))
