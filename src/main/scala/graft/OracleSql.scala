@@ -164,4 +164,54 @@ object OracleSql {
     sb.toString
   }
 
+  // ---------------- H3 cell construction (pure integer) ----------------
+
+  /** 16 non-pentagon base cells spread across the globe (pentagon set is
+    * {4,14,24,38,49,58,63,72,83,97,107,117}). */
+  private val H3_BCS = Seq(0, 7, 15, 19, 20, 31, 42, 55, 60, 68, 77, 85, 95, 100, 110, 121)
+
+  /** Portable exact integer division by a power of two (< 2^53 operands):
+    * Spark's and DuckDB's `/` are both float division, so divide exactly. */
+  private def idiv(e: String, c: Long) = s"CAST((($e) - ($e) % $c) / $c AS BIGINT)"
+
+  private val H = "((event_id * 2654435761) % 4294967296)"
+
+  /** Resolution 5..7 (covers Class III/II/III). */
+  val H3_RES_EXPR: String = s"(5 + ${idiv(H, 16)} % 3)"
+
+  /** Digit i (1-based), 0..6, from disjoint-ish hash bits. */
+  private def h3Digit(i: Int): String = s"(${idiv(H, 1L << (6 + 3 * (i - 1)))} % 7)"
+
+  /** A structurally valid H3 cell id built from event_id with pure integer
+    * math — the SAME string is evaluated by Spark `expr()` and by the DuckDB
+    * oracle, so both engines hold identical cells; Spark then runs the real
+    * GEOMETRY on them (decode/re-encode/disk/boundary) whose correct outputs
+    * are integer-predictable and mirrored by the oracle.
+    *
+    * Layout: 2^59 (mode 1) + res·2^52 + bc·2^45 + Σ d_i·8^(15-i) for
+    * i ≤ res + (8^(15-res) − 1) (trailing digit-7 filler). */
+  val H3_CELL_EXPR: String = {
+    val bcCase = H3_BCS.zipWithIndex
+      .map { case (bc, i) => s"WHEN $i THEN $bc" }
+      .mkString(s"(CASE ($H % 16) ", " ", " END)")
+    val digitTerms = (1 to 7).map { i =>
+      val w = 1L << (3 * (15 - i))
+      s"(CASE WHEN $i <= $H3_RES_EXPR THEN ${h3Digit(i)} ELSE 0 END) * $w"
+    }.mkString(" + ")
+    val filler =
+      s"(CASE $H3_RES_EXPR WHEN 5 THEN ${(1L << 30) - 1} WHEN 6 THEN ${(1L << 27) - 1} " +
+        s"ELSE ${(1L << 24) - 1} END)"
+    s"(576460752303423488 + $H3_RES_EXPR * 4503599627370496 + $bcCase * 35184372088832 + " +
+      s"$digitTerms + $filler)"
+  }
+
+  /** The bit-level parent of H3_CELL_EXPR at res-1: decrement the res field
+    * and set the res'th digit to 7. */
+  val H3_PARENT_EXPR: String = {
+    val dRes = s"(CASE $H3_RES_EXPR WHEN 5 THEN ${h3Digit(5)} WHEN 6 THEN ${h3Digit(6)} " +
+      s"ELSE ${h3Digit(7)} END)"
+    val w = s"(CASE $H3_RES_EXPR WHEN 5 THEN ${1L << 30} WHEN 6 THEN ${1L << 27} " +
+      s"ELSE ${1L << 24} END)"
+    s"(($H3_CELL_EXPR) - 4503599627370496 + (7 - $dRes) * $w)"
+  }
 }

@@ -636,4 +636,77 @@ object Queries {
       .agg(max("sess_id").as("n_sessions"), count(lit(1)).as("n_events"))
       .orderBy("user_id")
   }
+
+  // ---------------- H3 geometry queries ----------------
+
+  /** Deterministic valid H3 cells (pure integer construction shared
+    * verbatim with the oracle — OracleSql.H3_CELL_EXPR). */
+  private def h3Cells(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("event_id").as("id"),
+        expr(OracleSql.H3_CELL_EXPR).as("cell"),
+        expr(OracleSql.H3_RES_EXPR).cast("int").as("res"))
+
+  /** h3 encode/decode round-trip: re-encoding a cell's decoded center at its
+    * own res must return the cell; at res-1 it must return the bit-level
+    * parent (cell centers sit well inside their parents). The oracle mirrors
+    * both with pure integer bit math — any geometry error hash-fails. */
+  def q35H3Encode(spark: SparkSession, dir: String): DataFrame = {
+    val rt = udf((cell: Long, res: Int) => {
+      val (la, ln) = graft.index.H3Geo.cellToLatLng(cell)
+      (java.lang.Long.toHexString(graft.index.H3Geo.latLngToCell(la, ln, res)),
+        java.lang.Long.toHexString(graft.index.H3Geo.latLngToCell(la, ln, res - 1)))
+    })
+    h3Cells(spark, dir)
+      .withColumn("r", rt(col("cell"), col("res")))
+      .select(col("id"), lower(hex(col("cell"))).as("cell_str"),
+        col("r._1").as("rt_str"), col("r._2").as("parent_str"), col("res"))
+      .orderBy("id")
+  }
+
+  /** h3 grid-disk invariants, all integer-predictable for hexagon cells:
+    * |disk(c,1)| = 7, 6 mutual neighbors, every member's center re-encodes
+    * to itself, every member's boundary polygon touches c's. */
+  def q36H3GridDisk(spark: SparkSession, dir: String): DataFrame = {
+    val diskStats = udf((cell: Long, res: Int) => {
+      import graft.index.{H3Geo}
+      val disk = H3Geo.gridDisk(cell, 1)
+      val members = disk.filter(_ != cell)
+      val nMutual = members.count(m => H3Geo.gridDisk(m, 1).contains(cell))
+      val nRt = disk.count { m =>
+        val (la, ln) = H3Geo.cellToLatLng(m)
+        H3Geo.latLngToCell(la, ln, res) == m
+      }
+      val poly = H3Geo.cellPolygon(cell)
+      // ε-tolerant touch test: vertices of adjacent cells are computed in
+      // different face projections, so a shared edge can carry ~1e-12 of
+      // float jitter either way; non-neighbors are ≥ one cell edge away
+      val nTouch = members.count(m => H3Geo.cellPolygon(m).distance(poly) < 1e-6)
+      (disk.size, nMutual, nRt, nTouch)
+    })
+    h3Cells(spark, dir)
+      .withColumn("s", diskStats(col("cell"), col("res")))
+      .select(col("id"), lower(hex(col("cell"))).as("cell_str"),
+        col("s._1").as("n_disk"), col("s._2").as("n_mutual"),
+        col("s._3").as("n_rt"), col("s._4").as("n_touch"))
+      .orderBy("id")
+  }
+
+  /** h3 children/compact: the 49 res+2 descendants compact back to exactly
+    * the original cell (pure bit ops, pentagon-aware). */
+  def q37H3Compact(spark: SparkSession, dir: String): DataFrame = {
+    val comp = udf((cell: Long, res: Int) => {
+      import graft.index.{H3, H3Cover}
+      val kids = H3.cellToChildren(cell, res + 2)
+      val compacted = H3Cover.compact(kids.toSet)
+      (kids.size, compacted.size,
+        if (compacted == Set(cell)) java.lang.Long.toHexString(cell) else "MISMATCH")
+    })
+    h3Cells(spark, dir)
+      .withColumn("c", comp(col("cell"), col("res")))
+      .select(col("id"), col("c._1").as("n_children"), col("c._2").as("n_compact"),
+        col("c._3").as("compact_str"))
+      .orderBy("id")
+  }
 }

@@ -50,6 +50,9 @@ object SparkEntry {
     "q32_parse_wkt" -> (Queries.q32ParseWkt _),
     "q33_ann_ivf" -> (Queries.q33AnnIvf _),
     "q34_curation_pipeline" -> (Queries.q34CurationPipeline _),
+    "q35_h3_encode" -> (Queries.q35H3Encode _),
+    "q36_h3_griddisk" -> (Queries.q36H3GridDisk _),
+    "q37_h3_compact" -> (Queries.q37H3Compact _),
   )
 
   // ---------------- oracle SQL ----------------
@@ -373,5 +376,29 @@ object SparkEntry {
          |LEFT JOIN near_losers n ON d.doc_id = n.doc_id
          |JOIN quality q ON d.doc_id = q.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // H3 queries: the cell ids are constructed by pure integer math (the
+    // SAME expression string runs on both engines); Spark then runs the real
+    // icosahedral geometry whose correct outputs are integer-predictable —
+    // round-trips return the cell itself / its bit-level parent, disks have
+    // fixed counts — so any geometry defect hash-fails against these mirrors.
+    "q35_h3_encode" ->
+      s"""WITH h3c AS (SELECT event_id AS id, ${OracleSql.H3_CELL_EXPR} AS cell,
+         |  CAST(${OracleSql.H3_RES_EXPR} AS INT) AS res, ${OracleSql.H3_PARENT_EXPR} AS parent
+         |  FROM events)
+         |SELECT id, printf('%x', cell) AS cell_str, printf('%x', cell) AS rt_str,
+         |  printf('%x', parent) AS parent_str, res
+         |FROM h3c ORDER BY id""".stripMargin,
+
+    "q36_h3_griddisk" ->
+      s"""WITH h3c AS (SELECT event_id AS id, ${OracleSql.H3_CELL_EXPR} AS cell FROM events)
+         |SELECT id, printf('%x', cell) AS cell_str,
+         |  7 AS n_disk, 6 AS n_mutual, 7 AS n_rt, 6 AS n_touch
+         |FROM h3c ORDER BY id""".stripMargin,
+
+    "q37_h3_compact" ->
+      s"""WITH h3c AS (SELECT event_id AS id, ${OracleSql.H3_CELL_EXPR} AS cell FROM events)
+         |SELECT id, 49 AS n_children, 1 AS n_compact, printf('%x', cell) AS compact_str
+         |FROM h3c ORDER BY id""".stripMargin,
   )
 }

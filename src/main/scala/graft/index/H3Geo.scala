@@ -281,12 +281,20 @@ object H3Geo {
       val mLat = math.toRadians((b(i)._1 + b(j)._1) / 2)
       val mLng = math.toRadians(lngMid(b(i)._2, b(j)._2))
       val m3 = geoToVec3d(mLat, mLng)
-      // geodesic point at twice the center→edge-midpoint distance
-      val d = c3._1 * m3._1 + c3._2 * m3._2 + c3._3 * m3._3
-      val px = 2 * d * m3._1 - c3._1
-      val py = 2 * d * m3._2 - c3._2
-      val pz = 2 * d * m3._3 - c3._3
-      val plat = math.asin(math.max(-1.0, math.min(1.0, pz)))
+      // probe just PAST the shared edge: slerp-extrapolate the center→edge-
+      // midpoint geodesic to 1.25× its arc. (Reflecting to 2× overshoots
+      // into the second ring where icosa-edge distortion shrinks the
+      // neighbor; 0.25 of the inradius past the edge is always inside it.)
+      val dotCM = math.max(-1.0, math.min(1.0, c3._1 * m3._1 + c3._2 * m3._2 + c3._3 * m3._3))
+      val phi = math.acos(dotCM)
+      val t = 1.25
+      val sa = math.sin((1 - t) * phi) / math.sin(phi)
+      val sb = math.sin(t * phi) / math.sin(phi)
+      val px = sa * c3._1 + sb * m3._1
+      val py = sa * c3._2 + sb * m3._2
+      val pz = sa * c3._3 + sb * m3._3
+      val pm = math.sqrt(px * px + py * py + pz * pz)
+      val plat = math.asin(math.max(-1.0, math.min(1.0, pz / pm)))
       val plng = math.atan2(py, px)
       val n = latLngToCell(math.toDegrees(plat), math.toDegrees(plng), res)
       if (n != cell) out += n
