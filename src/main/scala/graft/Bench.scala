@@ -18,6 +18,11 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // events/documents at sf0.1 are single-digit-MB files: under the
+      // 128 MB default they scan as ONE partition and the UDF-heavy parse
+      // queries (q31/q32) run on one core. Same lever as bench/Scaling.
+      .config("spark.sql.files.maxPartitionBytes", s"${4 * 1024 * 1024}")
+      .config("spark.sql.files.openCostInBytes", s"${512 * 1024}")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -17,8 +17,14 @@ import org.apache.spark.sql.functions._
 object Queries {
 
   // -- shared derived-point table (mirror of OracleSql.PTS_CTE) --
+  // The events file is single-digit MB even at sf0.1 — one scan split —
+  // while consumers run per-row geometry/format kernels, so fan the rows
+  // out to every core first. (At 100 TB the scan has thousands of splits
+  // and this repartition of an already-tiny stage is noise.)
   def pts(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/events.parquet").select(
+    spark.read.parquet(s"$dir/events.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(
       col("event_id").as("id"),
       (lit(-90.0) + lit(180.0) *
         (((col("event_id") * lit(2654435761L)) % lit(4294967296L)) / lit(4294967296.0))).as("lat"),
@@ -179,6 +185,7 @@ object Queries {
 
   def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
 
   /** Whitespace token counting. */
   def q14TokenCount(spark: SparkSession, dir: String): DataFrame =
@@ -297,7 +304,10 @@ object Queries {
     * candidate set near-dup-only (2-row bands admitted quadratic noise on
     * template-heavy text). */
   def q19MinhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = q18MinhashSig(spark, dir)
+    // signatures feed the band keys AND both sides of the agreement join —
+    // cache so the shingle/minhash UDF chain runs once, not 4×. (At 100 TB
+    // signatures are a persisted column, not a recomputed expression.)
+    val sigs = q18MinhashSig(spark, dir).cache()
     val bands = (0 until 2).map { b =>
       sigs.select(col("doc_id"),
         lit(b).as("band"),
@@ -542,13 +552,17 @@ object Queries {
       while (i < a.length) { s += a(i) * b(i); i += 1 }
       s
     })
-    // bucket assignment: nearest centroid by dot (ties → smaller cent_id)
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("cdot").desc, col("cent_id").asc)
+    // bucket assignment: nearest centroid by dot (ties → smaller cent_id).
+    // argmax via max_by aggregation — partial (map-side) aggregation shrinks
+    // the 16×-replicated join output before the shuffle, where the previous
+    // row_number window shuffled and sorted all of it.
     val assigned = emb.join(broadcast(cents))
       .withColumn("cdot", dot(col("v"), col("cv")))
-      .withColumn("crank", row_number().over(wAssign))
-      .filter(col("crank") === 1)
-      .select(col("vec_id"), col("v"), col("cent_id").as("bucket"))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("cent_id"), struct(col("cdot"), (-col("cent_id")).as("nc"))).as("bucket"),
+        first(col("v")).as("v")) // v is constant within the group
+      .select(col("vec_id"), col("v"), col("bucket"))
 
     // query probes: 4 nearest centroids per query
     val queries = emb.filter(col("vec_id") < 20)
