@@ -266,4 +266,16 @@ object Geo {
       "geometry" -> geometryToJson(g),
       "properties" -> props,
       "type" -> JString("Feature")))
+
+  /** Feature with an embedded `bbox:[minx,miny,maxx,maxy]` member
+    * (`geoq bbox --embed`, reference `commands/bbox.rs:37-42`); serde_json
+    * maps serialize alphabetically, so bbox leads. */
+  def featureJsonStringBbox(g: Geometry, props: JObject): String = {
+    val (minX, minY, maxX, maxY) = bbox(g)
+    Json.write(JObject.of(
+      "bbox" -> JArray(Vector(JDouble(minX), JDouble(minY), JDouble(maxX), JDouble(maxY))),
+      "geometry" -> geometryToJson(g),
+      "properties" -> props,
+      "type" -> JString("Feature")))
+  }
 }

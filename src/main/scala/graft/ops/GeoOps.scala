@@ -108,6 +108,16 @@ object GeoOps {
     }
   }
 
+  /** `geoq bbox --embed`: the feature with `bbox:[minx,miny,maxx,maxy]`
+    * embedded (`commands/bbox.rs:37-42`). */
+  def bboxEmbed(feats: Dataset[FeatureRow]): Dataset[(Long, Int, String)] = {
+    import feats.sparkSession.implicits._
+    feats.map { f =>
+      (f.rowId, f.subIdx,
+        Geo.featureJsonStringBbox(Geo.fromWkb(f.wkb), Json.parseObject(f.props)))
+    }
+  }
+
   /** `geoq bbox --all`: 4-way min/max aggregation (`commands/bbox.rs:9-32`).
     * A plain columnar agg — partial aggregation map-side, no UDAF. */
   def bboxAll(feats: Dataset[FeatureRow]): (Double, Double, Double, Double) = {

@@ -67,6 +67,8 @@ object GeoqCli {
           .map(_.toString))
       case "bbox" :: Nil =>
         emit(GeoOps.collectOrdered(GeoOps.bboxPolygons(feats)))
+      case "bbox" :: "--embed" :: Nil =>
+        emit(GeoOps.collectOrdered(GeoOps.bboxEmbed(feats)))
       case "bbox-all" :: Nil =>
         val (minX, minY, maxX, maxY) = GeoOps.bboxAll(feats)
         println(graft.geom.Geo.geometryJsonString(graft.geom.Geo.boxPolyTR(minX, minY, maxX, maxY)))
@@ -95,6 +97,22 @@ object GeoqCli {
           (f.rowId, f.subIdx, graft.geom.Geo.featureJsonString(s,
             graft.geom.Json.parseObject(f.props)))
         }))
+      case "fgb-write" :: path :: Nil =>
+        // T3 collect sink like the reference (`commands/fgb.rs:74-87`)
+        val ordered = feats.collect().sortBy(f => (f.rowId, f.subIdx))
+        val bytes = graft.sources.FgbIO.write(ordered.toSeq.map(f =>
+          (graft.geom.Geo.fromWkb(f.wkb), graft.geom.Json.parseObject(f.props))))
+        java.nio.file.Files.write(java.nio.file.Paths.get(path), bytes)
+      case "fgb-read" :: path :: rest =>
+        val fgb = graft.sources.FgbIO.read(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+        val fs = rest match {
+          case "--bbox" :: box :: Nil =>
+            val Array(a, b, c, d) = box.split(",").map(_.toDouble)
+            graft.sources.FgbIO.bboxSelect(fgb, a, b, c, d)
+          case _ => graft.sources.FgbIO.features(fgb)
+        }
+        fs.foreach { case (g, p) => println(graft.geom.Geo.featureJsonString(g, p)) }
       case "gh-encode-long" :: Nil =>
         lines.foreach(l => println(graft.index.Geohash.encodeLong(
           java.lang.Long.parseUnsignedLong(l.trim))))

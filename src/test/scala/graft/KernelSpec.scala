@@ -205,6 +205,21 @@ class KernelSpec extends AnyFunSuite {
     assert(Geo.bbox(gc) == (0.0, 0.0, 10.0, 20.0)) // reference quirk
   }
 
+  test("bbox --embed sets the feature bbox member (commands/bbox.rs:37-42)") {
+    val e = Entity.parseLine("LINESTRING(30 10,10 30,40 40)").head
+    assert(Geo.featureJsonStringBbox(e.geom, e.props) ==
+      """{"bbox":[10.0,10.0,40.0,40.0],"geometry":{"coordinates":[[30.0,10.0],[10.0,30.0],[40.0,40.0]],"type":"LineString"},"properties":{},"type":"Feature"}""")
+  }
+
+  test("shortest-float formatter is locale-independent") {
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.GERMANY)
+      assert(Num.rust(-119.53125) == "-119.53125")
+      assert(Num.json(496760.9360151398) == "496760.9360151398")
+    } finally java.util.Locale.setDefault(prev)
+  }
+
   // --- number formatting ---
   test("rust-style and json-style float formatting") {
     assert(Num.rust(34.0) == "34")
