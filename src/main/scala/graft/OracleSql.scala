@@ -166,9 +166,12 @@ object OracleSql {
 
   // ---------------- H3 cell construction (pure integer) ----------------
 
-  /** 16 non-pentagon base cells spread across the globe (pentagon set is
-    * {4,14,24,38,49,58,63,72,83,97,107,117}). */
-  private val H3_BCS = Seq(0, 7, 15, 19, 20, 31, 42, 55, 60, 68, 77, 85, 95, 100, 110, 121)
+  /** 16 non-pentagon base cells spread across the globe, chosen away from
+    * the poles and the antimeridian (centers lat ∈ [-39,60], lng ∈
+    * [-124,117]) so constructed cells' planar polygons never wrap ±180 —
+    * the reference's geometry is planar too, so wrap handling is out of
+    * contract (pentagon set: {4,14,24,38,49,58,63,72,83,97,107,117}). */
+  private val H3_BCS = Seq(7, 12, 16, 19, 20, 22, 28, 32, 42, 47, 52, 61, 66, 73, 84, 98)
 
   /** Portable exact integer division by a power of two (< 2^53 operands):
     * Spark's and DuckDB's `/` are both float division, so divide exactly. */

@@ -707,6 +707,32 @@ object Queries {
       .orderBy("id")
   }
 
+  /** h3 covering invariants, integer-predictable for hexagon cells:
+    * polyfill of the cell's own hexagon at its own res = exactly {cell}
+    * (neighbors' centers fall outside), and the BFS line covering between
+    * the cell center and a neighbor's center contains both endpoint cells. */
+  def q38H3Covering(spark: SparkSession, dir: String): DataFrame = {
+    val cover = udf((cell: Long, res: Int) => {
+      import graft.index.{H3Cover, H3Geo}
+      val selfCover = H3Cover.polygonCells(H3Geo.cellPolygon(cell), res)
+      val n = H3Geo.neighbors(cell).head
+      val (cla, cln) = H3Geo.cellToLatLng(cell)
+      val (nla, nln) = H3Geo.cellToLatLng(n)
+      val line = Geo.factory.createLineString(Array(
+        new org.locationtech.jts.geom.Coordinate(cln, cla),
+        new org.locationtech.jts.geom.Coordinate(nln, nla)))
+      val lineCover = H3Cover.lineCells(line, res)
+      (selfCover.size, selfCover == Set(cell),
+        lineCover.contains(cell), lineCover.contains(n))
+    })
+    h3Cells(spark, dir)
+      .withColumn("c", cover(col("cell"), col("res")))
+      .select(col("id"), lower(hex(col("cell"))).as("cell_str"),
+        col("c._1").as("n_self_cover"), col("c._2").as("self_exact"),
+        col("c._3").as("line_has_a"), col("c._4").as("line_has_b"))
+      .orderBy("id")
+  }
+
   /** h3 children/compact: the 49 res+2 descendants compact back to exactly
     * the original cell (pure bit ops, pentagon-aware). */
   def q37H3Compact(spark: SparkSession, dir: String): DataFrame = {

@@ -53,6 +53,7 @@ object SparkEntry {
     "q35_h3_encode" -> (Queries.q35H3Encode _),
     "q36_h3_griddisk" -> (Queries.q36H3GridDisk _),
     "q37_h3_compact" -> (Queries.q37H3Compact _),
+    "q38_h3_covering" -> (Queries.q38H3Covering _),
   )
 
   // ---------------- oracle SQL ----------------
@@ -399,6 +400,12 @@ object SparkEntry {
     "q37_h3_compact" ->
       s"""WITH h3c AS (SELECT event_id AS id, ${OracleSql.H3_CELL_EXPR} AS cell FROM events)
          |SELECT id, 49 AS n_children, 1 AS n_compact, printf('%x', cell) AS compact_str
+         |FROM h3c ORDER BY id""".stripMargin,
+
+    "q38_h3_covering" ->
+      s"""WITH h3c AS (SELECT event_id AS id, ${OracleSql.H3_CELL_EXPR} AS cell FROM events)
+         |SELECT id, printf('%x', cell) AS cell_str, 1 AS n_self_cover,
+         |  true AS self_exact, true AS line_has_a, true AS line_has_b
          |FROM h3c ORDER BY id""".stripMargin,
   )
 }

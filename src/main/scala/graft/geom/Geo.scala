@@ -16,9 +16,14 @@ import org.locationtech.jts.io.{WKBReader, WKBWriter, WKTReader}
 object Geo {
   val factory = new GeometryFactory(new PrecisionModel(PrecisionModel.FLOATING), 4326)
 
-  // ---- WKB codec (thread-safe: fresh reader/writer per call is cheap) ----
-  def toWkb(g: Geometry): Array[Byte] = new WKBWriter().write(g)
-  def fromWkb(b: Array[Byte]): Geometry = new WKBReader(factory).read(b)
+  // ---- WKB codec. JTS readers/writers are stateful (not shareable across
+  // threads) but reusable — thread-locals drop the per-row allocation in
+  // the parse-heavy paths (q31/q32's constant factor). ----
+  private val wkbWriter = ThreadLocal.withInitial[WKBWriter](() => new WKBWriter())
+  private val wkbReader = ThreadLocal.withInitial[WKBReader](() => new WKBReader(factory))
+  private val wktReader = ThreadLocal.withInitial[WKTReader](() => new WKTReader(factory))
+  def toWkb(g: Geometry): Array[Byte] = wkbWriter.get().write(g)
+  def fromWkb(b: Array[Byte]): Geometry = wkbReader.get().read(b)
 
   def point(x: Double, y: Double): Point = factory.createPoint(new Coordinate(x, y))
 
@@ -61,7 +66,7 @@ object Geo {
   }
 
   // ---- WKT ----
-  def parseWkt(s: String): Geometry = new WKTReader(factory).read(s)
+  def parseWkt(s: String): Geometry = wktReader.get().read(s)
 
   /** geoq/Rust-wkt-crate style WKT writer. */
   def toWkt(g: Geometry): String = {

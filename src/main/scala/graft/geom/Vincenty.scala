@@ -17,7 +17,15 @@ object Vincenty {
   /** Distance in meters between (lon1,lat1) and (lon2,lat2); None if the
     * iteration fails to converge. */
   def distance(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Option[Double] = {
-    if (lon1 == lon2 && lat1 == lat2) return Some(0.0)
+    val d = distanceRaw(lon1, lat1, lon2, lat2)
+    if (java.lang.Double.isNaN(d)) None else Some(d)
+  }
+
+  /** Allocation-free form for hot loops: identical math, NaN instead of
+    * None on non-convergence (the Option per call was a measurable share
+    * of per-row cost in the 32-thread kNN refine kernel). */
+  def distanceRaw(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
+    if (lon1 == lon2 && lat1 == lat2) return 0.0
     val l = math.toRadians(lon2 - lon1)
     val u1 = math.atan((1.0 - F) * math.tan(math.toRadians(lat1)))
     val u2 = math.atan((1.0 - F) * math.tan(math.toRadians(lat2)))
@@ -40,7 +48,7 @@ object Vincenty {
         (cosU2 * sinLambda) * (cosU2 * sinLambda) +
           (cosU1 * sinU2 - sinU1 * cosU2 * cosLambda) *
           (cosU1 * sinU2 - sinU1 * cosU2 * cosLambda))
-      if (sinSigma == 0.0) return Some(0.0) // coincident points
+      if (sinSigma == 0.0) return 0.0 // coincident points
       cosSigma = sinU1 * sinU2 + cosU1 * cosU2 * cosLambda
       sigma = math.atan2(sinSigma, cosSigma)
       val sinAlpha = cosU1 * cosU2 * sinLambda / sinSigma
@@ -56,7 +64,7 @@ object Vincenty {
       if (math.abs(lambda - lambdaPrev) <= 1e-12) continue = false
       iterLimit -= 1
     }
-    if (continue) return None // failed to converge
+    if (continue) return Double.NaN // failed to converge
 
     val uSq = cosSqAlpha * (A * A - B * B) / (B * B)
     val a = 1.0 + uSq / 16384.0 * (4096.0 + uSq * (-768.0 + uSq * (320.0 - 175.0 * uSq)))
@@ -66,7 +74,7 @@ object Vincenty {
         (cosSigma * (-1.0 + 2.0 * cos2SigmaM * cos2SigmaM) -
           b / 6.0 * cos2SigmaM * (-3.0 + 4.0 * sinSigma * sinSigma) *
           (-3.0 + 4.0 * cos2SigmaM * cos2SigmaM)))
-    Some(B * a * (sigma - deltaSigma))
+    B * a * (sigma - deltaSigma)
   }
 
   /** Fixed-iteration variant (no early exit): runs the lambda update exactly
