@@ -97,6 +97,9 @@ object GeoqCli {
           (f.rowId, f.subIdx, graft.geom.Geo.featureJsonString(s,
             graft.geom.Json.parseObject(f.props)))
         }))
+      case "shp" :: path :: Nil =>
+        graft.sources.ShpIO.read(path).foreach(f =>
+          println(graft.sources.ShpIO.featureJson(f)))
       case "fgb-write" :: path :: Nil =>
         // T3 collect sink like the reference (`commands/fgb.rs:74-87`)
         val ordered = feats.collect().sortBy(f => (f.rowId, f.subIdx))
