@@ -687,7 +687,9 @@ object Queries {
       import graft.index.{H3Geo}
       val disk = H3Geo.gridDisk(cell, 1)
       val members = disk.filter(_ != cell)
-      val nMutual = members.count(m => H3Geo.gridDisk(m, 1).contains(cell))
+      // mutual adjacency via the directed probe (one boundary per member,
+      // not a full nested neighbor enumeration)
+      val nMutual = members.count(m => H3Geo.neighborToward(m, cell) == cell)
       val nRt = disk.count { m =>
         val (la, ln) = H3Geo.cellToLatLng(m)
         H3Geo.latLngToCell(la, ln, res) == m

@@ -278,29 +278,60 @@ object H3Geo {
     var i = 0
     while (i < b.length) {
       val j = (i + 1) % b.length
-      val mLat = math.toRadians((b(i)._1 + b(j)._1) / 2)
-      val mLng = math.toRadians(lngMid(b(i)._2, b(j)._2))
-      val m3 = geoToVec3d(mLat, mLng)
-      // probe just PAST the shared edge: slerp-extrapolate the center→edge-
-      // midpoint geodesic to 1.25× its arc. (Reflecting to 2× overshoots
-      // into the second ring where icosa-edge distortion shrinks the
-      // neighbor; 0.25 of the inradius past the edge is always inside it.)
-      val dotCM = math.max(-1.0, math.min(1.0, c3._1 * m3._1 + c3._2 * m3._2 + c3._3 * m3._3))
-      val phi = math.acos(dotCM)
-      val t = 1.25
-      val sa = math.sin((1 - t) * phi) / math.sin(phi)
-      val sb = math.sin(t * phi) / math.sin(phi)
-      val px = sa * c3._1 + sb * m3._1
-      val py = sa * c3._2 + sb * m3._2
-      val pz = sa * c3._3 + sb * m3._3
-      val pm = math.sqrt(px * px + py * py + pz * pz)
-      val plat = math.asin(math.max(-1.0, math.min(1.0, pz / pm)))
-      val plng = math.atan2(py, px)
-      val n = latLngToCell(math.toDegrees(plat), math.toDegrees(plng), res)
+      val n = probePastEdge(c3, b(i), b(j), res)
       if (n != cell) out += n
       i += 1
     }
     out.toSeq
+  }
+
+  /** The cell just PAST the edge (v1,v2) as seen from center `c3`:
+    * slerp-extrapolate the center→edge-midpoint geodesic to 1.25× its arc.
+    * (Reflecting to 2× overshoots into the second ring where icosa-edge
+    * distortion shrinks the neighbor; 0.25 of the inradius past the edge
+    * is always inside it.) */
+  private def probePastEdge(c3: (Double, Double, Double), v1: (Double, Double),
+                            v2: (Double, Double), res: Int): Long = {
+    val mLat = math.toRadians((v1._1 + v2._1) / 2)
+    val mLng = math.toRadians(lngMid(v1._2, v2._2))
+    val m3 = geoToVec3d(mLat, mLng)
+    val dotCM = math.max(-1.0, math.min(1.0, c3._1 * m3._1 + c3._2 * m3._2 + c3._3 * m3._3))
+    val phi = math.acos(dotCM)
+    val t = 1.25
+    val sa = math.sin((1 - t) * phi) / math.sin(phi)
+    val sb = math.sin(t * phi) / math.sin(phi)
+    val px = sa * c3._1 + sb * m3._1
+    val py = sa * c3._2 + sb * m3._2
+    val pz = sa * c3._3 + sb * m3._3
+    val pm = math.sqrt(px * px + py * py + pz * pz)
+    val plat = math.asin(math.max(-1.0, math.min(1.0, pz / pm)))
+    val plng = math.atan2(py, px)
+    latLngToCell(math.toDegrees(plat), math.toDegrees(plng), res)
+  }
+
+  /** Directed adjacency probe: the cell reached by stepping just past the
+    * edge of `a` whose midpoint lies nearest `b`'s center — a mutual-
+    * adjacency check at a fraction of a full neighbor enumeration. */
+  def neighborToward(a: Long, b: Long): Long = {
+    val res = H3.resolution(a)
+    val (aLat, aLng) = cellToLatLng(a)
+    val a3 = geoToVec3d(math.toRadians(aLat), math.toRadians(aLng))
+    val (bLat, bLng) = cellToLatLng(b)
+    val b3 = geoToVec3d(math.toRadians(bLat), math.toRadians(bLng))
+    val bd = cellBoundary(a)
+    var best = -1
+    var bestD = Double.MaxValue
+    var i = 0
+    while (i < bd.length) {
+      val j = (i + 1) % bd.length
+      val mLat = math.toRadians((bd(i)._1 + bd(j)._1) / 2)
+      val mLng = math.toRadians(lngMid(bd(i)._2, bd(j)._2))
+      val m3 = geoToVec3d(mLat, mLng)
+      val d = dist3dSq(m3, b3)
+      if (d < bestD) { bestD = d; best = i }
+      i += 1
+    }
+    probePastEdge(a3, bd(best), bd((best + 1) % bd.length), res)
   }
 
   private def lngMid(a: Double, b: Double): Double = {
