@@ -574,9 +574,11 @@ object Queries {
       .filter(col("prank") <= 4)
       .select(col("query_id"), col("qv"), col("cent_id").as("bucket"))
 
-    // search only probed buckets (equi-join on bucket = partition pruning)
+    // search only probed buckets (equi-join on bucket = partition pruning);
+    // the probe side is small — broadcast it so the vector table is never
+    // shuffled (at 100 TB it is bucket-partitioned storage, scanned in place)
     val wTop = Window.partitionBy("query_id").orderBy(col("qdot").desc, col("vec_id").asc)
-    probes.join(assigned, Seq("bucket"))
+    broadcast(probes).join(assigned, Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("qdot", dot(col("qv"), col("v")))
       .withColumn("rank", row_number().over(wTop))
