@@ -16,7 +16,8 @@ import org.apache.spark.sql.SparkSession
   *       filter-intersects Q | filter-contains Q | measure-distance Q |
   *       h3-point R | h3-hierarchy | h3-grid-disk [k] |
   *       h3-covering R [-o] [--compact] | h3-parent R | h3-children R |
-  *       h3-resolution | h3-to-str | h3-from-str
+  *       h3-resolution | h3-to-str | h3-from-str | bbox [--embed] |
+  *       shp PATH | fgb-write PATH | fgb-read PATH [--bbox a,b,c,d]
   */
 object GeoqCli {
   def main(args: Array[String]): Unit = {
