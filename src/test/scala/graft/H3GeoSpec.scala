@@ -193,6 +193,39 @@ class H3GeoSpec extends AnyFunSuite {
     assert(expanded == pc)
   }
 
+  test("whole earth, exhaustively at res 1 and 2: unique centers, round-trips, 12 pentagons") {
+    for (res <- Seq(1, 2)) {
+      val cells = (0 until 122).flatMap(bc => H3.cellToChildren(H3Geo.res0Cell(bc), res))
+      val expected = 122 * math.pow(7, res).toInt - 12 * ((math.pow(7, res).toInt - 1) / 6)
+      assert(cells.size == expected, s"res $res cell count") // 842 / 5882
+      assert(cells.count(H3.isPentagon) == 12)
+      assert(cells.distinct.size == cells.size)
+      // every center re-encodes to its own cell (global bijectivity of the
+      // decode→encode pair at this res)
+      val centers = cells.map { c =>
+        val (la, ln) = H3Geo.cellToLatLng(c)
+        assert(H3Geo.latLngToCell(la, ln, res) == c, s"round-trip ${hex(c)}")
+        (math.rint(la * 1e9) / 1e9, math.rint(ln * 1e9) / 1e9)
+      }
+      assert(centers.distinct.size == cells.size, s"res $res centers collide")
+    }
+  }
+
+  test("property: every random point lies inside its cell's boundary polygon") {
+    for ((lat, lon) <- samplePoints(80); res <- Seq(2, 3)) {
+      val c = H3Geo.latLngToCell(lat, lon, res)
+      val poly = H3Geo.cellPolygon(c)
+      val p = gf.createPoint(new Coordinate(lon, lat))
+      // planar containment; cells crossing the antimeridian are the one
+      // legitimate planar artifact (same as the reference's geo-crate view)
+      val (_, cLng) = H3Geo.cellToLatLng(c)
+      val crossesAm = H3Geo.cellBoundary(c).map(_._2).max -
+        H3Geo.cellBoundary(c).map(_._2).min > 180
+      if (!crossesAm)
+        assert(poly.covers(p), s"point ($lat,$lon) outside ${hex(c)} at res $res")
+    }
+  }
+
   test("H3 entities parse in mixed streams with reference props") {
     val es = Entity.parseLine("862749967ffffff")
     assert(es.size == 1)

@@ -56,4 +56,41 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq
     assert(streamed == batch)
   }
+
+  test("streaming H3 tile assignment matches the batch tiling") {
+    // the engine's tiling operator over an unbounded point stream: per-cell
+    // counts via update-mode aggregation — the T1 map + shuffle shape of the
+    // scale job, expressed as a stream
+    val dir = "/root/testdata/sf0.001"
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val streamDir = java.nio.file.Files.createTempDirectory("events_stream2")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("part-0.parquet"))
+
+    val h3 = udf((lon: Double, lat: Double) => graft.index.H3Geo.latLngToCell(lat, lon, 5))
+    def points(df: org.apache.spark.sql.DataFrame) = df.select(
+      (lit(-90.0) + lit(180.0) *
+        (((col("event_id") * lit(2654435761L)) % lit(4294967296L)) / lit(4294967296.0))).as("lat"),
+      (lit(-180.0) + lit(360.0) *
+        (((col("event_id") * lit(2246822519L)) % lit(4294967296L)) / lit(4294967296.0))).as("lon"))
+
+    val stream = points(spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString))
+      .select(h3(col("lon"), col("lat")).as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("h3_tiles").start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val streamed = spark.table("h3_tiles").orderBy("cell")
+      .collect().map(_.toSeq).toSeq
+    val batch = points(spark.read.parquet(s"$dir/events.parquet"))
+      .select(h3(col("lon"), col("lat")).as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .orderBy("cell").collect().map(_.toSeq).toSeq
+    assert(streamed == batch && batch.nonEmpty)
+  }
 }
