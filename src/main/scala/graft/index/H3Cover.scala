@@ -63,6 +63,15 @@ object H3Cover {
     })
   }
 
+  /** ALL cells whose hexagon intersects the geometry — the SUPERSET
+    * covering used for join-candidate generation (polyfill's
+    * center-containment would miss edge-straddling cells and drop join
+    * results; this can only over-generate, and the exact predicate refines). */
+  def intersectingCells(g: Geometry, res: Int): Set[Long] = {
+    if (g.isEmpty) return Set.empty
+    flood(g, cellOf(g.getCoordinate, res), res, _ => true)
+  }
+
   /** Covering of any geometry the reference accepts; GeometryCollection is
     * rejected exactly like the reference (`h3.rs:527-530`). */
   def geomCells(g: Geometry, res: Int): Set[Long] = g match {

@@ -57,6 +57,27 @@ object SpatialJoin {
       .select(col("id"), col("rid"))
   }
 
+  /** H3-keyed variant of [[joinPointsInBoxes]] — the north rule's "batched
+    * H3 cell encode UDFs feed a broadcast-or-partitioned PIP join": each
+    * point keys to its H3 cell, each box explodes to the SUPERSET of cells
+    * whose hexagons intersect it (H3Cover.intersectingCells — candidate
+    * completeness: a point inside the box makes its own cell intersect the
+    * box), then the exact predicate refines. Join decisions are identical
+    * to the geohash-keyed path (equivalence-tested in SpatialJoinSpec). */
+  def joinPointsInBoxesH3(left: DataFrame, right: DataFrame, res: Int = 3): DataFrame = {
+    val pCell = udf((lon: Double, lat: Double) => graft.index.H3Geo.latLngToCell(lat, lon, res))
+    val boxCells = udf((minx: Double, miny: Double, maxx: Double, maxy: Double) =>
+      graft.index.H3Cover.intersectingCells(
+        graft.geom.Geo.boxPolyBL(minx, miny, maxx, maxy), res).toArray)
+    val pts = left.withColumn("cell", pCell(col("lon"), col("lat")))
+    val boxes = right.withColumn("cell",
+      explode(boxCells(col("minx"), col("miny"), col("maxx"), col("maxy"))))
+    pts.join(boxes, Seq("cell"))
+      .filter(col("lon") >= col("minx") && col("lon") <= col("maxx") &&
+        col("lat") >= col("miny") && col("lat") <= col("maxy"))
+      .select(col("id"), col("rid"))
+  }
+
   /** Exact kNN of `queries` (query_id, qlon, qlat) among `points`
     * (id, lon, lat) under squared-euclidean-degrees, ties by id.
     * Returns (query_id, rank, neighbor_id, dist2), rank 1..k. */

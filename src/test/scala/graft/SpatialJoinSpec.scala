@@ -33,6 +33,26 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(plain.count(_._2 == 1L) > 4000) // the hot cell really is hot
   }
 
+  test("H3-keyed PIP join produces identical pairs to the geohash-keyed join") {
+    import spark.implicits._
+    val pts = spark.range(3000).map { i =>
+      (i, -170.0 + (i % 337).toDouble + (i % 13) * 0.07,
+        -80.0 + (i % 157).toDouble + (i % 11) * 0.05)
+    }.toDF("id", "lon", "lat")
+    val boxes = Seq(
+      (1L, 9.0, 44.0, 11.0, 46.0),
+      (2L, -100.0, -50.0, -60.0, 0.0),
+      (3L, 150.0, 20.0, 179.0, 60.0),
+      (4L, -10.5, -5.25, 30.75, 40.5)) // edge-straddling fractions
+      .toDF("rid", "minx", "miny", "maxx", "maxy")
+    val gh = SpatialJoin.joinPointsInBoxes(pts, boxes)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val h3 = SpatialJoin.joinPointsInBoxesH3(pts, boxes, res = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(h3 == gh)
+    assert(gh.nonEmpty)
+  }
+
   test("filterIntersectsAtScale matches broadcast filter semantics") {
     import spark.implicits._
     val lines = Seq("34.2277,-118.2623", "12,34", "9q5",
