@@ -17,10 +17,7 @@ import org.locationtech.jts.geom.{Coordinate, GeometryFactory, Polygon}
   * rule (descending center latitude), and self-validates against published
   * anchor vectors (see H3GeoSpec). Known deviations, documented in
   * FIXTURES.md: gridDisk returns the correct cell SET in deterministic
-  * BFS-ring order (the C library's spiral order is not reproduced), and
-  * Class III pentagon boundaries omit icosa-edge distortion vertices (the
-  * 12 pentagons per resolution; vertex positions are exact, extra edge
-  * intersection points are not inserted).
+  * BFS-ring order (the C library's spiral order is not reproduced).
   */
 object H3Geo {
   import H3Math._
@@ -148,8 +145,8 @@ object H3Geo {
   // -------------------------------------------------------------- boundary
 
   /** Cell boundary vertices (degrees) as (lat, lon) ring, NOT closed.
-    * Hexagons include Class III icosa-edge distortion vertices (spec
-    * _faceIjkToCellBoundary); pentagons return their 5 exact vertices. */
+    * Both hexagons and pentagons include Class III icosa-edge distortion
+    * vertices (spec _faceIjkToCellBoundary / _faceIjkPentToCellBoundary). */
   def cellBoundary(cell: Long): Array[(Double, Double)] = {
     val res = H3.resolution(cell)
     val fijk = h3ToFaceIjk(cell)
@@ -203,21 +200,60 @@ object H3Geo {
     out.toArray
   }
 
+  /** Pentagon boundary (spec _faceIjkPentToCellBoundary): 5 vertices, plus
+    * — at Class III resolutions — one icosa-edge distortion vertex per edge
+    * (every Class III pentagon edge crosses an icosahedron edge; Class II
+    * pentagon edges lie ON them). */
   private def pentBoundary(center: FaceIJK, res: Int): Array[(Double, Double)] = {
     val (verts, adjRes, _) = faceIjkToVerts(center, res, NUM_PENT_VERTS)
-    val out = new Array[(Double, Double)](NUM_PENT_VERTS)
-    var v = 0
-    while (v < NUM_PENT_VERTS) {
+    val adjusted = (0 until NUM_PENT_VERTS).map { v =>
       val fijk = new FaceIJK(verts(v).face, verts(v).ijk.copy())
       // pentagon verts can overage multiple times
       var ov = adjustOverageClassII(fijk, adjRes, pentLeading4 = false, substrate = true)
       while (ov == NEW_FACE) ov = adjustOverageClassII(fijk, adjRes, pentLeading4 = false, substrate = true)
-      val (vx, vy) = ijkToHex2d(fijk.ijk)
-      val (la, ln) = hex2dToGeo(vx, vy, fijk.face, adjRes, substrate = true)
-      out(v) = (math.toDegrees(la), math.toDegrees(ln))
-      v += 1
+      fijk
     }
-    out
+    val out = new scala.collection.mutable.ArrayBuffer[(Double, Double)](10)
+    var vert = 0
+    while (vert <= NUM_PENT_VERTS) { // extra iteration: distortion on the last edge
+      val v = vert % NUM_PENT_VERTS
+      val fijk = adjusted(v)
+      if (isClassIII(res) && vert > 0) {
+        val last = adjusted((v + NUM_PENT_VERTS - 1) % NUM_PENT_VERTS)
+        if (last.face != fijk.face && H3Tables.adjacentFaceDir(fijk.face)(last.face) > 0) {
+          // move this vertex into the LAST vertex's face frame, intersect
+          // the connecting segment with that face's icosa edge
+          val (ox0, oy0) = ijkToHex2d(last.ijk)
+          val toLast = H3Tables.adjacentFaceDir(fijk.face)(last.face)
+          val fo = H3Tables.faceNeighbor(fijk.face, toLast)
+          val ijk = fijk.ijk.copy()
+          var i = 0
+          while (i < fo.ccwRot60) { rotate60ccwIJK(ijk); i += 1 }
+          val us = unitScaleByCIIres(adjRes) * 3
+          ijk.i += fo.transI * us; ijk.j += fo.transJ * us; ijk.k += fo.transK * us
+          ijk.normalize()
+          val homeFace = fo.face // == last.face
+          val (ox1, oy1) = ijkToHex2d(ijk)
+          val maxDim = maxDimByCIIres(adjRes).toDouble
+          val dir = H3Tables.adjacentFaceDir(homeFace)(fijk.face)
+          val (e0x, e0y, e1x, e1y) = dir match {
+            case IJ => (3.0 * maxDim, 0.0, -1.5 * maxDim, 3.0 * M_SQRT3_2 * maxDim)
+            case JK => (-1.5 * maxDim, 3.0 * M_SQRT3_2 * maxDim, -1.5 * maxDim, -3.0 * M_SQRT3_2 * maxDim)
+            case _  => (-1.5 * maxDim, -3.0 * M_SQRT3_2 * maxDim, 3.0 * maxDim, 0.0)
+          }
+          val (ix, iy) = v2dIntersect(ox0, oy0, ox1, oy1, e0x, e0y, e1x, e1y)
+          val (la, ln) = hex2dToGeo(ix, iy, homeFace, adjRes, substrate = true)
+          out += ((math.toDegrees(la), math.toDegrees(ln)))
+        }
+      }
+      if (vert < NUM_PENT_VERTS) {
+        val (vx, vy) = ijkToHex2d(fijk.ijk)
+        val (la, ln) = hex2dToGeo(vx, vy, fijk.face, adjRes, substrate = true)
+        out += ((math.toDegrees(la), math.toDegrees(ln)))
+      }
+      vert += 1
+    }
+    out.toArray
   }
 
   /** Substrate-grid vertices of the cell (spec _faceIjkToVerts): aperture

@@ -123,6 +123,20 @@ class H3GeoSpec extends AnyFunSuite {
     }
   }
 
+  test("pentagon boundaries: 5 verts at Class II, 10 (with distortion) at Class III") {
+    for (bc <- Seq(4, 58, 117)) {
+      val p2 = H3.cellToChildren(H3Geo.res0Cell(bc), 2).find(H3.isPentagon).get
+      assert(H3Geo.cellBoundary(p2).length == 5)
+      val p3 = H3.cellToChildren(p2, 3).find(H3.isPentagon).get
+      val b3 = H3Geo.cellBoundary(p3)
+      assert(b3.length == 10, s"pentagon ${hex(p3)} Class III verts: ${b3.length}")
+      val poly = H3Geo.cellPolygon(p3)
+      assert(poly.isValid)
+      val (la, ln) = H3Geo.cellToLatLng(p3)
+      assert(poly.contains(gf.createPoint(new Coordinate(ln, la))))
+    }
+  }
+
   test("pentagons: 12 per resolution, 5 neighbors, disk1 of 6") {
     assert(H3Geo.pentagons == Seq(4, 14, 24, 38, 49, 58, 63, 72, 83, 97, 107, 117))
     for (bc <- Seq(4, 83, 117)) {
