@@ -297,11 +297,49 @@ object H3Geo {
 
   // --------------------------------------------------------------- gridDisk
 
-  /** Immediate neighbors of a cell (6, or 5 for pentagons), via geodesic
-    * edge-midpoint reflection probes (spec deviation: the C library walks
-    * integer base-cell neighbor tables; the resulting SET is identical —
-    * property-tested for mutuality + counts — with deterministic order). */
+  /** Immediate neighbors of a cell (6, or 5 for pentagons), via integer
+    * lattice stepping: decode to the canonical FaceIJK, add each of the six
+    * unit vectors in the face frame, overage-adjust across icosa edges
+    * (exact integer transform), and re-encode. No floating point anywhere —
+    * pure table walks, O(res) per step. The geodesic probe version is kept
+    * as [[probeNeighbors]] and pinned set-equal by a differential property
+    * test (H3GeoSpec). Returned in deterministic digit-step order (spec
+    * deviation, documented in FIXTURES.md: the C library walks directed
+    * base-cell neighbor tables; the SET is identical). */
   def neighbors(cell: Long): Seq[Long] = {
+    val res = H3.resolution(cell)
+    val f0 = h3ToFaceIjk(cell)
+    val out = scala.collection.mutable.LinkedHashSet[Long]()
+    var d = 1
+    while (d <= 6) {
+      val n = latticeStep(f0, res, d)
+      if (n != cell) out += n
+      d += 1
+    }
+    out.toSeq
+  }
+
+  /** The cell one grid step from canonical position `f0` (at `res`) in unit
+    * direction `digit` (1..6, face-frame axes). Mirrors the decode path's
+    * overage handling: descend Class III to the even substrate res, adjust
+    * face overage (repeatedly — steps near icosa vertices can cross twice),
+    * come back up, re-encode. */
+  private[index] def latticeStep(f0: FaceIJK, res: Int, digit: Int): Long = {
+    val fijk = new FaceIJK(f0.face, f0.ijk.copy())
+    H3Math.neighbor(fijk.ijk, digit)
+    var r = res
+    if (isClassIII(r)) { downAp7r(fijk.ijk); r += 1 }
+    var guard = 0
+    while (adjustOverageClassII(fijk, r, pentLeading4 = false, substrate = false) == NEW_FACE
+           && guard < 4) guard += 1
+    if (r != res) upAp7r(fijk.ijk)
+    faceIjkToH3(fijk.face, fijk.ijk, res)
+  }
+
+  /** Geodesic-probe neighbor enumeration — round 2's kernel, retained as the
+    * independent reference implementation for the differential property test
+    * (it derives adjacency from cell geometry, not lattice arithmetic). */
+  private[graft] def probeNeighbors(cell: Long): Seq[Long] = {
     val res = H3.resolution(cell)
     val (clat, clng) = cellToLatLng(cell)
     val c3 = geoToVec3d(math.toRadians(clat), math.toRadians(clng))
@@ -328,9 +366,13 @@ object H3Geo {
     * is always inside it.) */
   private def probePastEdge(c3: (Double, Double, Double), v1: (Double, Double),
                             v2: (Double, Double), res: Int): Long = {
-    val mLat = math.toRadians((v1._1 + v2._1) / 2)
-    val mLng = math.toRadians(lngMid(v1._2, v2._2))
-    val m3 = geoToVec3d(mLat, mLng)
+    // geodesic edge midpoint: normalized 3D chord midpoint (lat/lng averaging
+    // breaks on near-pole cells spanning wide longitude ranges)
+    val a3 = geoToVec3d(math.toRadians(v1._1), math.toRadians(v1._2))
+    val b3 = geoToVec3d(math.toRadians(v2._1), math.toRadians(v2._2))
+    val mx = a3._1 + b3._1; val my = a3._2 + b3._2; val mz = a3._3 + b3._3
+    val mn = math.sqrt(mx * mx + my * my + mz * mz)
+    val m3 = (mx / mn, my / mn, mz / mn)
     val dotCM = math.max(-1.0, math.min(1.0, c3._1 * m3._1 + c3._2 * m3._2 + c3._3 * m3._3))
     val phi = math.acos(dotCM)
     val t = 1.25
@@ -345,10 +387,16 @@ object H3Geo {
     latLngToCell(math.toDegrees(plat), math.toDegrees(plng), res)
   }
 
-  /** Directed adjacency probe: the cell reached by stepping just past the
-    * edge of `a` whose midpoint lies nearest `b`'s center — a mutual-
-    * adjacency check at a fraction of a full neighbor enumeration. */
+  /** Directed adjacency check: returns `b` iff `b` is a grid neighbor of
+    * `a` (integer lattice walk); otherwise falls back to the geodesic probe
+    * toward `b`'s center (round-2 semantics for the non-adjacent case). */
   def neighborToward(a: Long, b: Long): Long = {
+    if (neighbors(a).contains(b)) b else probeToward(a, b)
+  }
+
+  /** Geodesic probe: the cell reached by stepping just past the edge of `a`
+    * whose midpoint lies nearest `b`'s center. */
+  private def probeToward(a: Long, b: Long): Long = {
     val res = H3.resolution(a)
     val (aLat, aLng) = cellToLatLng(a)
     val a3 = geoToVec3d(math.toRadians(aLat), math.toRadians(aLng))
@@ -360,22 +408,14 @@ object H3Geo {
     var i = 0
     while (i < bd.length) {
       val j = (i + 1) % bd.length
-      val mLat = math.toRadians((bd(i)._1 + bd(j)._1) / 2)
-      val mLng = math.toRadians(lngMid(bd(i)._2, bd(j)._2))
-      val m3 = geoToVec3d(mLat, mLng)
+      val p3 = geoToVec3d(math.toRadians(bd(i)._1), math.toRadians(bd(i)._2))
+      val q3 = geoToVec3d(math.toRadians(bd(j)._1), math.toRadians(bd(j)._2))
+      val m3 = ((p3._1 + q3._1) / 2, (p3._2 + q3._2) / 2, (p3._3 + q3._3) / 2)
       val d = dist3dSq(m3, b3)
       if (d < bestD) { bestD = d; best = i }
       i += 1
     }
     probePastEdge(a3, bd(best), bd((best + 1) % bd.length), res)
-  }
-
-  private def lngMid(a: Double, b: Double): Double = {
-    // midpoint that respects the ±180 wrap
-    val d = b - a
-    if (d > 180) a + (d - 360) / 2
-    else if (d < -180) a + (d + 360) / 2
-    else a + d / 2
   }
 
   /** All cells within grid distance k, origin first, then rings in BFS

@@ -240,6 +240,31 @@ class H3GeoSpec extends AnyFunSuite {
     }
   }
 
+  test("differential: integer lattice-step neighbors == geodesic probe neighbors") {
+    // whole earth, exhaustively, at res 1 and 2 (every icosa edge/vertex
+    // crossing and all 12 pentagons at both resolution classes)
+    for (res <- Seq(1, 2)) {
+      val cells = (0 until 122).flatMap(bc => H3.cellToChildren(H3Geo.res0Cell(bc), res))
+      cells.foreach { c =>
+        assert(H3Geo.neighbors(c).toSet == H3Geo.probeNeighbors(c).toSet,
+          s"lattice/probe mismatch at ${hex(c)} res $res")
+      }
+    }
+    // random cells at every res 0..15 (two per res), incl. both classes
+    for (res <- 0 to 15; (lat, lon) <- samplePoints(2 + res)) {
+      val c = H3Geo.latLngToCell(lat, lon, res)
+      assert(H3Geo.neighbors(c).toSet == H3Geo.probeNeighbors(c).toSet,
+        s"lattice/probe mismatch at ${hex(c)} res $res")
+    }
+    // pentagons at res 1..5 (deleted-K stepping + overage repeats)
+    for (bc <- H3Geo.pentagons; res <- 1 to 3) {
+      val p = H3.cellToChildren(H3Geo.res0Cell(bc), res).find(H3.isPentagon).get
+      assert(H3Geo.neighbors(p).toSet == H3Geo.probeNeighbors(p).toSet,
+        s"pentagon lattice/probe mismatch at ${hex(p)} res $res")
+      assert(H3Geo.neighbors(p).size == 5)
+    }
+  }
+
   test("H3 entities parse in mixed streams with reference props") {
     val es = Entity.parseLine("862749967ffffff")
     assert(es.size == 1)
