@@ -303,11 +303,16 @@ object Queries {
     * keys instead of an O(n²) similarity scan. 4-row bands keep the
     * candidate set near-dup-only (2-row bands admitted quadratic noise on
     * template-heavy text). */
+  // one cached signature table per input dir, shared by q19 and q34 (a
+  // second .cache() on an identical plan leaks a CacheManager entry and
+  // warns; memoizing gives both consumers the same handle)
+  private val sigCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   def q19MinhashPairs(spark: SparkSession, dir: String): DataFrame = {
     // signatures feed the band keys AND both sides of the agreement join —
     // cache so the shingle/minhash UDF chain runs once, not 4×. (At 100 TB
     // signatures are a persisted column, not a recomputed expression.)
-    val sigs = q18MinhashSig(spark, dir).cache()
+    val sigs = sigCache.computeIfAbsent(dir, d => q18MinhashSig(spark, d).cache())
     val bands = (0 until 2).map { b =>
       sigs.select(col("doc_id"),
         lit(b).as("band"),

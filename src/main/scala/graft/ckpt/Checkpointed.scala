@@ -89,14 +89,16 @@ object Checkpointed {
   private def footerRows(spark: org.apache.spark.sql.SparkSession, dir: Path): Long = {
     if (!Files.exists(dir)) return 0L
     val conf = spark.sparkContext.hadoopConfiguration
-    Files.list(dir).iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .map { p =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromPath(new org.apache.hadoop.fs.Path(p.toUri), conf)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try r.getRecordCount finally r.close()
-      }.sum
+    scala.util.Using.resource(Files.list(dir)) { stream =>
+      stream.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .map { p =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(p.toUri), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRecordCount finally r.close()
+        }.sum
+    }
   }
 
   private def parseMarker(json: String): Map[String, Long] = {
@@ -107,17 +109,21 @@ object Checkpointed {
 
   def dirBytes(dir: Path): Long =
     if (!Files.exists(dir)) 0L
-    else Files.walk(dir).iterator().asScala
-      .filter(p => Files.isRegularFile(p) && !p.getFileName.toString.startsWith("_"))
-      .map(p => Files.size(p)).sum
+    else scala.util.Using.resource(Files.walk(dir)) { stream =>
+      stream.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && !p.getFileName.toString.startsWith("_"))
+        .map(p => Files.size(p)).sum
+    }
 
   /** Summarize checkpoint state for an output dir. */
   def report(outDir: String): Seq[String] = {
     val d = Paths.get(outDir, "_ckpt")
     if (!Files.exists(d)) return Nil
-    Files.list(d).iterator().asScala.toSeq
-      .filter(_.getFileName.toString.endsWith(".json"))
-      .sortBy(_.getFileName.toString)
-      .map(p => Files.readString(p))
+    scala.util.Using.resource(Files.list(d)) { stream =>
+      stream.iterator().asScala.toSeq
+        .filter(_.getFileName.toString.endsWith(".json"))
+        .sortBy(_.getFileName.toString)
+        .map(p => Files.readString(p))
+    }
   }
 }

@@ -46,6 +46,11 @@ object GeoOps {
   def collectOrdered[T](ds: Dataset[(Long, Int, T)]): Seq[T] =
     ds.collect().toSeq.sortBy(r => (r._1, r._2)).map(_._3)
 
+  /** As [[collectOrdered]] for ops whose per-feature fan-out can exceed Int
+    * packing (grid-disk/covering emit up to 7^res cells per sub-feature). */
+  def collectOrderedWide[T](ds: Dataset[(Long, Long, T)]): Seq[T] =
+    ds.collect().toSeq.sortBy(r => (r._1, r._2)).map(_._3)
+
   // ---- per-row conversions (T1 maps) ----
 
   /** `geoq read` debug labels (`commands/read.rs:4`). */
@@ -213,13 +218,13 @@ object GeoOps {
   /** `geoq h3 grid-disk [k]`: H3 entities only, k-ring incl. self
     * (`h3.rs:233-272`). Origin first, then rings (set-equal to the C
     * library; FIXTURES.md). */
-  def h3GridDisk(feats: Dataset[FeatureRow], k: Int): Dataset[(Long, Int, String)] = {
+  def h3GridDisk(feats: Dataset[FeatureRow], k: Int): Dataset[(Long, Long, String)] = {
     import feats.sparkSession.implicits._
     feats.flatMap { f =>
       if (f.kind != Entity.H3Cell)
         throw GeoqException(s"geoq h3 grid-disk requires H3 cell strings as inputs -- got ${f.raw}")
       H3Geo.gridDisk(H3.fromString(f.raw), k).zipWithIndex.map { case (c, i) =>
-        (f.rowId, f.subIdx * 1000000 + i, H3.toString(c))
+        (f.rowId, (f.subIdx.toLong << 32) | i.toLong, H3.toString(c))
       }
     }
   }
@@ -228,14 +233,14 @@ object GeoOps {
     * cells per geometry kind; unordered in the reference (HashSet), emitted
     * here in ascending unsigned id order. */
   def h3Covering(feats: Dataset[FeatureRow], res: Int, echo: Boolean,
-                 compact: Boolean): Dataset[(Long, Int, String)] = {
+                 compact: Boolean): Dataset[(Long, Long, String)] = {
     import feats.sparkSession.implicits._
     feats.flatMap { f =>
       val cells = graft.index.H3Cover.geomCells(Geo.fromWkb(f.wkb), res)
       val emitted = graft.index.H3Cover.ordered(
         if (compact) graft.index.H3Cover.compact(cells) else cells)
       val out = if (echo) f.raw +: emitted.map(H3.toString) else emitted.map(H3.toString)
-      out.zipWithIndex.map { case (c, i) => (f.rowId, f.subIdx * 1000000 + i, c) }
+      out.zipWithIndex.map { case (c, i) => (f.rowId, (f.subIdx.toLong << 32) | i.toLong, c) }
     }
   }
 

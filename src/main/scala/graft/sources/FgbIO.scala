@@ -329,8 +329,10 @@ object FgbIO {
     val bb = ByteBuffer.wrap(fgb.featureBytes).order(ByteOrder.LITTLE_ENDIAN)
     val leafStart = fgb.meta.levelBounds.last.start
     PackedRTree.search(fgb.meta, fgb.tree, minX, minY, maxX, maxY).map { i =>
-      val off = fgb.tree(leafStart + i).offset.toInt
-      decodeFeature(bb, off + 4, fgb.columns)
+      val off = fgb.tree(leafStart + i).offset
+      if (off < 0 || off > Int.MaxValue - 4)
+        throw GeoqException(s"fgb: feature offset $off exceeds the 2 GiB in-memory payload limit")
+      decodeFeature(bb, off.toInt + 4, fgb.columns)
     }
   }
 

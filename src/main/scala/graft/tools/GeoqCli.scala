@@ -126,9 +126,9 @@ object GeoqCli {
         emit(GeoOps.collectOrdered(GeoOps.h3Hierarchy(feats)))
       case "h3-grid-disk" :: rest =>
         val k = rest.headOption.map(_.toInt).getOrElse(1)
-        emit(GeoOps.collectOrdered(GeoOps.h3GridDisk(feats, k)))
+        emit(GeoOps.collectOrderedWide(GeoOps.h3GridDisk(feats, k)))
       case "h3-covering" :: res :: rest =>
-        emit(GeoOps.collectOrdered(GeoOps.h3Covering(feats, res.toInt,
+        emit(GeoOps.collectOrderedWide(GeoOps.h3Covering(feats, res.toInt,
           echo = rest.contains("-o"), compact = rest.contains("--compact"))))
       case "h3-to-str" :: Nil =>
         lines.foreach(l => println(graft.index.H3.toPaddedString(
