@@ -208,6 +208,23 @@ object OracleSql {
       s"$digitTerms + $filler)"
   }
 
+  /** A pentagon cell at res 5..7: one of the 12 pentagon base cells with
+    * ALL-ZERO digits (the pentagon child chain is the all-center-digit
+    * path). Pure integer, like H3_CELL_EXPR, shared verbatim with the
+    * oracle; the invariants the Spark side computes on it (5 neighbors,
+    * disk-1 of 6, 6 children, boundary vertex counts) are integer-
+    * predictable constants. */
+  val H3_PENT_CELL_EXPR: String = {
+    val pents = Seq(4, 14, 24, 38, 49, 58, 63, 72, 83, 97, 107, 117)
+    val bcCase = pents.zipWithIndex
+      .map { case (bc, i) => s"WHEN $i THEN $bc" }
+      .mkString(s"(CASE ($H % 12) ", " ", " END)")
+    val filler =
+      s"(CASE $H3_RES_EXPR WHEN 5 THEN ${(1L << 30) - 1} WHEN 6 THEN ${(1L << 27) - 1} " +
+        s"ELSE ${(1L << 24) - 1} END)"
+    s"(576460752303423488 + $H3_RES_EXPR * 4503599627370496 + $bcCase * 35184372088832 + $filler)"
+  }
+
   /** The bit-level parent of H3_CELL_EXPR at res-1: decrement the res field
     * and set the res'th digit to 7. */
   val H3_PARENT_EXPR: String = {

@@ -742,6 +742,67 @@ object Queries {
       .orderBy("id")
   }
 
+  /** Pentagon invariants under the driver hash gate (pentagons were only
+    * unit-tested through round 2): 12 pentagon base cells × res 5..7 with
+    * all-zero digits; each must report 5 neighbors, a 1-ring disk of 6,
+    * 6 children that compact back to the cell, an exact center round-trip,
+    * and 5 boundary verts at Class II / 10 (icosa-edge distortion on every
+    * edge) at Class III. All constants — the oracle mirrors them from res
+    * alone, so any deleted-K-subsequence or distortion defect hash-fails. */
+  def q39H3Pentagon(spark: SparkSession, dir: String): DataFrame = {
+    val stats = udf((cell: Long, res: Int) => {
+      import graft.index.{H3, H3Cover, H3Geo}
+      val nNeighbors = H3Geo.neighbors(cell).size
+      val nDisk = H3Geo.gridDisk(cell, 1).size
+      val kids = H3.cellToChildren(cell, res + 1)
+      val rtOk = {
+        val (la, ln) = H3Geo.cellToLatLng(cell)
+        H3Geo.latLngToCell(la, ln, res) == cell
+      }
+      val nVerts = H3Geo.cellBoundary(cell).length
+      val compactOk = H3Cover.compact(kids.toSet) == Set(cell)
+      (nNeighbors, nDisk, kids.size, rtOk, nVerts, compactOk)
+    })
+    spark.read.parquet(s"$dir/events.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("event_id").as("id"),
+        expr(OracleSql.H3_PENT_CELL_EXPR).as("cell"),
+        expr(OracleSql.H3_RES_EXPR).cast("int").as("res"))
+      .withColumn("s", stats(col("cell"), col("res")))
+      .select(col("id"), lower(hex(col("cell"))).as("cell_str"),
+        col("s._1").as("n_neighbors"), col("s._2").as("n_disk"),
+        col("s._3").as("n_children"), col("s._4").as("rt_ok"),
+        col("s._5").as("n_verts"), col("s._6").as("compact_ok"))
+      .orderBy("id")
+  }
+
+  /** gh covering under the driver hash gate (it only had golden-order CLI
+    * coverage): per-event axis-aligned boxes run through the REAL DFS
+    * covering (JTS intersects against cell bboxes); the oracle recomputes
+    * the covering as pure interval arithmetic — floor-divide the box
+    * corners into level-3 cell index ranges and emit the index rectangle.
+    * Set-equality (both sides sorted) proves the DFS emits exactly the
+    * intersecting cells, without over- or under-covering. */
+  def q40GhCovering(spark: SparkSession, dir: String): DataFrame = {
+    val cover = udf((minx: Double, miny: Double, maxx: Double, maxy: Double) => {
+      val c = Array(
+        new org.locationtech.jts.geom.Coordinate(minx, miny),
+        new org.locationtech.jts.geom.Coordinate(maxx, miny),
+        new org.locationtech.jts.geom.Coordinate(maxx, maxy),
+        new org.locationtech.jts.geom.Coordinate(minx, maxy),
+        new org.locationtech.jts.geom.Coordinate(minx, miny))
+      Geohash.covering(Geo.factory.createPolygon(c), 3).sorted
+    })
+    pts(spark, dir)
+      .filter(col("lat") > -85.0 && col("lat") < 85.0 &&
+        col("lon") > -175.0 && col("lon") < 175.0)
+      .select(col("id"), col("lon").as("minx"), col("lat").as("miny"),
+        (col("lon") + lit(1.0) + (col("id") % 4) * lit(0.5)).as("maxx"),
+        (col("lat") + lit(0.8) + (col("id") % 3) * lit(0.5)).as("maxy"))
+      .withColumn("gh", explode(cover(col("minx"), col("miny"), col("maxx"), col("maxy"))))
+      .select("id", "gh").orderBy("id", "gh")
+  }
+
   /** h3 children/compact: the 49 res+2 descendants compact back to exactly
     * the original cell (pure bit ops, pentagon-aware). */
   def q37H3Compact(spark: SparkSession, dir: String): DataFrame = {

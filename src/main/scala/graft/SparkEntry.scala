@@ -54,6 +54,8 @@ object SparkEntry {
     "q36_h3_griddisk" -> (Queries.q36H3GridDisk _),
     "q37_h3_compact" -> (Queries.q37H3Compact _),
     "q38_h3_covering" -> (Queries.q38H3Covering _),
+    "q39_h3_pentagon" -> (Queries.q39H3Pentagon _),
+    "q40_gh_covering" -> (Queries.q40GhCovering _),
   )
 
   // ---------------- oracle SQL ----------------
@@ -407,5 +409,30 @@ object SparkEntry {
          |SELECT id, printf('%x', cell) AS cell_str, 1 AS n_self_cover,
          |  true AS self_exact, true AS line_has_a, true AS line_has_b
          |FROM h3c ORDER BY id""".stripMargin,
+
+    "q39_h3_pentagon" ->
+      s"""WITH h3p AS (SELECT event_id AS id, ${OracleSql.H3_PENT_CELL_EXPR} AS cell,
+         |  CAST(${OracleSql.H3_RES_EXPR} AS INT) AS res FROM events)
+         |SELECT id, printf('%x', cell) AS cell_str,
+         |  5 AS n_neighbors, 6 AS n_disk, 6 AS n_children, true AS rt_ok,
+         |  CASE WHEN res % 2 = 1 THEN 10 ELSE 5 END AS n_verts, true AS compact_ok
+         |FROM h3p ORDER BY id""".stripMargin,
+
+    "q40_gh_covering" ->
+      s"""WITH $P,
+         |b AS (SELECT id, lon AS minx, lat AS miny,
+         |    lon + 1.0 + (id % 4) * 0.5 AS maxx,
+         |    lat + 0.8 + (id % 3) * 0.5 AS maxy
+         |  FROM pts
+         |  WHERE lat > -85.0 AND lat < 85.0 AND lon > -175.0 AND lon < 175.0),
+         |r AS (SELECT id,
+         |    LEAST(CAST(floor(((minx + 180.0) / 360.0) * 256.0) AS BIGINT), 255) AS li0,
+         |    LEAST(CAST(floor(((maxx + 180.0) / 360.0) * 256.0) AS BIGINT), 255) AS li1,
+         |    LEAST(CAST(floor(((miny + 90.0) / 180.0) * 128.0) AS BIGINT), 127) AS la0,
+         |    LEAST(CAST(floor(((maxy + 90.0) / 180.0) * 128.0) AS BIGINT), 127) AS la1
+         |  FROM b),
+         |cx AS (SELECT id, la0, la1, unnest(range(li0, li1 + 1)) AS loni FROM r),
+         |cxy AS (SELECT id, loni, unnest(range(la0, la1 + 1)) AS lati FROM cx)
+         |SELECT id, ${gh("loni", "lati", 3)} AS gh FROM cxy ORDER BY id, gh""".stripMargin,
   )
 }
