@@ -33,7 +33,9 @@ object H3Cover {
     val out = scala.collection.mutable.Set[Long]()
     while (queue.nonEmpty) {
       val cell = queue.dequeue()
-      if (prep.intersects(H3Geo.cellPolygon(cell))) {
+      // split geometry: cells straddling ±180 (or a pole) test correctly
+      // against planar query geometry instead of wrapping the whole map
+      if (prep.intersects(H3Geo.cellGeometrySplit(cell))) {
         if (keep(cell)) out += cell
         H3Geo.neighbors(cell).foreach { n =>
           if (!seen.contains(n)) { seen += n; queue += n }

@@ -283,7 +283,9 @@ object H3Geo {
     (out, adjRes, center.face)
   }
 
-  /** JTS polygon of the cell boundary (lon=x, lat=y, closed CCW ring). */
+  /** JTS polygon of the cell boundary (lon=x, lat=y, closed CCW ring).
+    * PLANAR, like the reference's h3ron view: cells crossing ±180 produce a
+    * wrapping ring (see [[cellGeometrySplit]] for the valid split form). */
   def cellPolygon(cell: Long): Polygon = {
     val b = cellBoundary(cell)
     val coords = new Array[Coordinate](b.length + 1)
@@ -291,6 +293,77 @@ object H3Geo {
     while (i < b.length) { coords(i) = new Coordinate(b(i)._2, b(i)._1); i += 1 }
     coords(b.length) = new Coordinate(b(0)._2, b(0)._1)
     H3Geo.gf.createPolygon(coords)
+  }
+
+  /** Cell boundary as a geometry that stays VALID across the antimeridian
+    * and at the poles (the reference's planar view is out-of-contract
+    * there; convention documented in FIXTURES.md):
+    *  - ordinary cells → the planar polygon unchanged;
+    *  - cells crossing ±180 → longitudes unwrapped into a continuous frame,
+    *    then split at the meridian into a 2-piece MultiPolygon;
+    *  - cells containing a pole (the unwrapped ring winds 360°) → closed
+    *    over the pole with two synthetic ±90 corners, then split the same
+    *    way. Whole-earth tilings (H3Cover floods) use this form. */
+  def cellGeometrySplit(cell: Long): org.locationtech.jts.geom.Geometry = {
+    val b = cellBoundary(cell)
+    val n = b.length
+    val lons = new Array[Double](n)
+    lons(0) = b(0)._2
+    var i = 1
+    while (i < n) {
+      var l = b(i)._2
+      while (l - lons(i - 1) > 180) l -= 360
+      while (l - lons(i - 1) < -180) l += 360
+      lons(i) = l
+      i += 1
+    }
+    // closure longitude: where the ring must return to; differs from the
+    // start by ±360 exactly when the ring winds around a pole
+    var close = b(0)._2
+    while (close - lons(n - 1) > 180) close -= 360
+    while (close - lons(n - 1) < -180) close += 360
+    val windsPole = math.abs(close - lons(0)) > 1e-9
+    if (!windsPole && lons.forall(l => l >= -180 && l <= 180)) return cellPolygon(cell)
+    val ring = scala.collection.mutable.ArrayBuffer[Coordinate]()
+    i = 0
+    while (i < n) { ring += new Coordinate(lons(i), b(i)._1); i += 1 }
+    if (windsPole) {
+      val poleLat = if (b.map(_._1).sum > 0) 90.0 else -90.0
+      ring += new Coordinate(close, b(0)._1)
+      ring += new Coordinate(close, poleLat)
+      ring += new Coordinate(lons(0), poleLat)
+    }
+    ring += ring.head
+    val unwrapped = gf.createPolygon(ring.toArray)
+    // clip against the three 360°-wide windows and shift each piece home
+    val pieces = Seq(-1, 0, 1).flatMap { k =>
+      val win = gf.createPolygon(Array(
+        new Coordinate(-180.0 + 360.0 * k, -90.0), new Coordinate(180.0 + 360.0 * k, -90.0),
+        new Coordinate(180.0 + 360.0 * k, 90.0), new Coordinate(-180.0 + 360.0 * k, 90.0),
+        new Coordinate(-180.0 + 360.0 * k, -90.0)))
+      val p0 = unwrapped.intersection(win)
+      if (p0.isEmpty) Nil
+      else {
+        // overlay results can SHARE Coordinate objects with the input ring —
+        // deep-copy before the in-place shift or the next window sees a
+        // corrupted unwrapped ring
+        val p = if (k != 0) p0.copy() else p0
+        if (k != 0) p.apply(new org.locationtech.jts.geom.CoordinateFilter {
+          def filter(c: Coordinate): Unit = { c.x -= 360.0 * k }
+        })
+        p.geometryChanged()
+        (0 until p.getNumGeometries).map(p.getGeometryN)
+          .collect { case poly: Polygon if !poly.isEmpty => poly }
+      }
+    }
+    if (pieces.size == 1) pieces.head
+    else {
+      // a pole cap spans exactly 360°: its two window pieces tile the frame
+      // and share an interior meridian edge — union dissolves it back to
+      // one polygon; genuine ±180 straddlers stay a 2-piece MultiPolygon
+      org.locationtech.jts.operation.union.UnaryUnionOp.union(
+        scala.jdk.CollectionConverters.SeqHasAsJava(pieces.map(_.asInstanceOf[org.locationtech.jts.geom.Geometry])).asJava)
+    }
   }
 
   private[index] val gf = new GeometryFactory()

@@ -240,6 +240,55 @@ class H3GeoSpec extends AnyFunSuite {
     }
   }
 
+  test("cellGeometrySplit: valid across the antimeridian and at the poles") {
+    // whole earth at res 1: every cell's split geometry is valid and covers
+    // its own center — including the two pole cells and every ±180 straddler
+    var nWrap = 0; var nPole = 0
+    for (bc <- 0 until 122; c <- H3.cellToChildren(H3Geo.res0Cell(bc), 1)) {
+      val g = H3Geo.cellGeometrySplit(c)
+      assert(g.isValid, s"invalid split geometry for ${hex(c)}")
+      val span = H3Geo.cellBoundary(c).map(_._2)
+      if (span.max - span.min > 180) nWrap += 1
+      if (g.getGeometryType == "MultiPolygon") assert(g.getNumGeometries >= 2)
+      val (la, ln) = H3Geo.cellToLatLng(c)
+      if (math.abs(la) > 89.999) nPole += 1
+      assert(g.covers(gf.createPoint(new Coordinate(ln, la))),
+        s"split geometry of ${hex(c)} misses its center")
+      // every piece stays inside the canonical lon/lat frame
+      assert(g.getEnvelopeInternal.getMinX >= -180.000001 &&
+        g.getEnvelopeInternal.getMaxX <= 180.000001, s"${hex(c)} out of frame")
+    }
+    assert(nWrap > 0, "no wrapping cells at res 1?!")
+  }
+
+  test("h3 covering works across the antimeridian (split geometry in the flood)") {
+    // a box hugging +180: its covering must include cells whose canonical
+    // centers are on the OTHER side (lon < 0) but whose hexagons reach in
+    val box = gf.createPolygon(Array(
+      new Coordinate(179.2, 10.0), new Coordinate(179.999, 10.0),
+      new Coordinate(179.999, 12.0), new Coordinate(179.2, 12.0),
+      new Coordinate(179.2, 10.0)))
+    val cov = H3Cover.intersectingCells(box, 5)
+    assert(cov.nonEmpty)
+    // exactness: every covering cell's split geometry really intersects
+    cov.foreach(c => assert(H3Geo.cellGeometrySplit(c).intersects(box), hex(c)))
+    // completeness: no neighbor of a covering cell intersects yet is missing
+    cov.foreach(c => H3Geo.neighbors(c).foreach { nb =>
+      if (H3Geo.cellGeometrySplit(nb).intersects(box))
+        assert(cov.contains(nb), s"antimeridian covering gap at ${hex(nb)}")
+    })
+    // at least one covering cell is a straddler whose center lies west of -179
+    assert(cov.exists { c =>
+      val (_, ln) = H3Geo.cellToLatLng(c); ln < -179.0
+    }, "no across-the-meridian cell found — split geometry not effective")
+    // polyfill center-containment semantics also hold near the meridian
+    val pc = H3Cover.polygonCells(box, 5)
+    pc.foreach { c =>
+      val (la, ln) = H3Geo.cellToLatLng(c)
+      assert(box.contains(gf.createPoint(new Coordinate(ln, la))), hex(c))
+    }
+  }
+
   test("differential: integer lattice-step neighbors == geodesic probe neighbors") {
     // whole earth, exhaustively, at res 1 and 2 (every icosa edge/vertex
     // crossing and all 12 pentagons at both resolution classes)
