@@ -42,8 +42,11 @@ object Queries {
     least(floor(((col("lat") + lit(90.0)) / lit(180.0)) * lit(cells.toDouble)), lit(cells - 1))
   }
 
-  private def ghUdf(len: Int) =
-    udf((lonIdx: Long, latIdx: Long) => Geohash.fromIndices(lonIdx, latIdx, len))
+  /** Codegen'd column mirror of `Geohash.fromIndices` (differentially
+    * pinned to the kernel in KernelSpec) — the UDF version paid per-row
+    * boxing and split the codegen span on the q02/q05 key paths. */
+  private def ghCol2(len: Int)(lonIdx: Column, latIdx: Column): Column =
+    graft.functions.GeoCols.ghCol(lonIdx.cast("long"), latIdx.cast("long"), len)
 
   // ---------------- geo core ----------------
 
@@ -57,7 +60,7 @@ object Queries {
   /** gh point: cell encode at precision 5 (reference `gh point <level>`). */
   def q02GhEncode(spark: SparkSession, dir: String): DataFrame =
     pts(spark, dir)
-      .withColumn("gh", ghUdf(5)(lonIdxCol(5), latIdxCol(5)))
+      .withColumn("gh", ghCol2(5)(lonIdxCol(5), latIdxCol(5)))
       .select("id", "gh").orderBy("id")
 
   /** gh children explode over the distinct level-3 tiles (reference
@@ -65,7 +68,7 @@ object Queries {
   def q03GhChildren(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     pts(spark, dir)
-      .withColumn("gh", ghUdf(3)(lonIdxCol(3), latIdxCol(3)))
+      .withColumn("gh", ghCol2(3)(lonIdxCol(3), latIdxCol(3)))
       .select("gh").distinct()
       .as[String]
       .flatMap(gh => Geohash.children(gh).map(c => (gh, c)))
@@ -83,7 +86,7 @@ object Queries {
     pts(spark, dir)
       .withColumn("latidx", latIdxCol(5))
       .filter(col("latidx") >= 1 && col("latidx") <= lit(latCells - 2))
-      .withColumn("gh", ghUdf(5)(lonIdxCol(5), col("latidx")))
+      .withColumn("gh", ghCol2(5)(lonIdxCol(5), col("latidx")))
       .withColumn("nb", nbrUdf(col("gh")))
       .select(col("id"), col("gh"),
         col("nb._1").as("n"), col("nb._2").as("ne"), col("nb._3").as("e"),
@@ -96,7 +99,7 @@ object Queries {
     * reference `gh covering` + tiling). */
   def q05TileCounts(spark: SparkSession, dir: String): DataFrame =
     pts(spark, dir)
-      .withColumn("tile", ghUdf(3)(lonIdxCol(3), latIdxCol(3)))
+      .withColumn("tile", ghCol2(3)(lonIdxCol(3), latIdxCol(3)))
       .groupBy("tile").agg(count(lit(1)).as("n_points"))
       .orderBy("tile")
 

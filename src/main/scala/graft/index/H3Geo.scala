@@ -309,11 +309,13 @@ object H3Geo {
     val n = b.length
     val lons = new Array[Double](n)
     lons(0) = b(0)._2
+    var inFrame = true
     var i = 1
     while (i < n) {
       var l = b(i)._2
       while (l - lons(i - 1) > 180) l -= 360
       while (l - lons(i - 1) < -180) l += 360
+      if (l < -180 || l > 180) inFrame = false
       lons(i) = l
       i += 1
     }
@@ -323,7 +325,16 @@ object H3Geo {
     while (close - lons(n - 1) > 180) close -= 360
     while (close - lons(n - 1) < -180) close += 360
     val windsPole = math.abs(close - lons(0)) > 1e-9
-    if (!windsPole && lons.forall(l => l >= -180 && l <= 180)) return cellPolygon(cell)
+    if (!windsPole && inFrame) {
+      // ordinary cell: planar polygon straight from the boundary already in
+      // hand (calling cellPolygon would recompute it — this is the flood's
+      // hot path)
+      val coords = new Array[Coordinate](n + 1)
+      i = 0
+      while (i < n) { coords(i) = new Coordinate(b(i)._2, b(i)._1); i += 1 }
+      coords(n) = new Coordinate(b(0)._2, b(0)._1)
+      return gf.createPolygon(coords)
+    }
     val ring = scala.collection.mutable.ArrayBuffer[Coordinate]()
     i = 0
     while (i < n) { ring += new Coordinate(lons(i), b(i)._1); i += 1 }

@@ -65,11 +65,13 @@ object SpatialJoin {
     * box), then the exact predicate refines. Join decisions are identical
     * to the geohash-keyed path (equivalence-tested in SpatialJoinSpec). */
   def joinPointsInBoxesH3(left: DataFrame, right: DataFrame, res: Int = 3): DataFrame = {
-    val pCell = udf((lon: Double, lat: Double) => graft.index.H3Geo.latLngToCell(lat, lon, res))
     val boxCells = udf((minx: Double, miny: Double, maxx: Double, maxy: Double) =>
       graft.index.H3Cover.intersectingCells(
         graft.geom.Geo.boxPolyBL(minx, miny, maxx, maxy), res).toArray)
-    val pts = left.withColumn("cell", pCell(col("lon"), col("lat")))
+    // point side = the 100 TB scan side: native codegen'd expression, not a
+    // boxed UDF (the box side is small and per-box flood work dominates)
+    val pts = left.withColumn("cell",
+      graft.functions.H3CellExpr.h3Cell(col("lat"), col("lon"), res))
     val boxes = right.withColumn("cell",
       explode(boxCells(col("minx"), col("miny"), col("maxx"), col("maxy"))))
     pts.join(boxes, Seq("cell"))

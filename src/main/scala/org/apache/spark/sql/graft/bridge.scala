@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal visibility bridge: `Column <-> catalyst Expression` converters
+  * are `private[sql]` in Spark 4, so custom native expressions (the usual
+  * extension mechanism — same trick as Sedona/Frameless) need a one-liner
+  * inside the sql package. Nothing else from the private API is touched.
+  */
+object bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -33,6 +33,42 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(plain.count(_._2 == 1L) > 4000) // the hot cell really is hot
   }
 
+  test("codegen key expressions == imperative kernels (H3CellExpr, GeoCols.ghCol)") {
+    import spark.implicits._
+    val df = spark.range(4000).map { i =>
+      (i, -180.0 + (i % 3571) * 0.1007, -90.0 + (i % 1777) * 0.1013)
+    }.toDF("id", "lon", "lat")
+    // H3CellExpr (native Catalyst, codegen'd) vs H3Geo.latLngToCell (kernel)
+    for (res <- Seq(0, 3, 7)) {
+      val got = df.select(col("id"), graft.functions.H3CellExpr.h3Cell(col("lat"), col("lon"), res).as("c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      df.select("id", "lat", "lon").collect().foreach { r =>
+        val expect = graft.index.H3Geo.latLngToCell(r.getDouble(1), r.getDouble(2), res)
+        assert(got(r.getLong(0)) == expect, s"H3CellExpr mismatch id=${r.getLong(0)} res=$res")
+      }
+    }
+    // GeoCols.ghCol (built-ins only) vs Geohash.fromIndices (kernel)
+    for (len <- Seq(1, 3, 5, 8)) {
+      val lonCells = 1L << graft.index.Geohash.lonBitsFor(len)
+      val latCells = 1L << graft.index.Geohash.latBitsFor(len)
+      val idx = spark.range(2000).select(col("id"),
+        (col("id") * 2654435761L % lonCells).as("li"),
+        (col("id") * 2246822519L % latCells).as("la"))
+      val got = idx.select(col("id"), graft.functions.GeoCols.ghCol(col("li"), col("la"), len).as("gh"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      idx.collect().foreach { r =>
+        val expect = graft.index.Geohash.fromIndices(r.getLong(1), r.getLong(2), len)
+        assert(got(r.getLong(0)) == expect, s"ghCol mismatch id=${r.getLong(0)} len=$len")
+      }
+    }
+    // the H3 expression really is codegen'd: no BatchEvalPython/UDF marker
+    // and the projection stays inside a WholeStageCodegen span
+    val plan = df.select(graft.functions.H3CellExpr.h3Cell(col("lat"), col("lon"), 5))
+      .queryExecution.executedPlan.toString
+    // the '*(n)' prefix marks operators inside a WholeStageCodegen span
+    assert(plan.linesIterator.exists(l => l.contains("h3_cell") && l.trim.startsWith("*(")), plan)
+  }
+
   test("H3-keyed PIP join produces identical pairs to the geohash-keyed join") {
     import spark.implicits._
     val pts = spark.range(3000).map { i =>
