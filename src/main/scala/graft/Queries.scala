@@ -704,11 +704,20 @@ object Queries {
         val (la, ln) = H3Geo.cellToLatLng(m)
         H3Geo.latLngToCell(la, ln, res) == m
       }
-      val poly = H3Geo.cellPolygon(cell)
-      // ε-tolerant touch test: vertices of adjacent cells are computed in
-      // different face projections, so a shared edge can carry ~1e-12 of
-      // float jitter either way; non-neighbors are ≥ one cell edge away
-      val nTouch = members.count(m => H3Geo.cellPolygon(m).distance(poly) < 1e-6)
+      // ε-tolerant touch test: adjacent hexagons share (at least) the two
+      // topological vertices of their common edge; vertices of adjacent
+      // cells are computed in different face projections, so a shared
+      // vertex carries ~1e-12 of float jitter either way. Vertex sharing
+      // IS polygon touching for a hex tiling, at a fraction of the JTS
+      // polygon-distance cost (this is the bench's hottest member loop).
+      val bc = H3Geo.cellBoundary(cell)
+      val nTouch = members.count { m =>
+        H3Geo.cellBoundary(m).exists { case (la, ln) =>
+          bc.exists { case (bla, bln) =>
+            math.abs(la - bla) < 1e-6 && math.abs(ln - bln) < 1e-6
+          }
+        }
+      }
       (disk.size, nMutual, nRt, nTouch)
     })
     h3Cells(spark, dir)
