@@ -815,6 +815,72 @@ object Queries {
       .select("id", "gh").orderBy("id", "gh")
   }
 
+  /** centroid under the driver hash gate (it only had golden CLI coverage):
+    * the REAL JTS centroid over all three geometry branches the reference
+    * accepts — box Polygon (area centroid), diagonal LineString (length
+    * centroid), corner Point (identity) — each checked against the
+    * integer-predictable exact answer (box center / diagonal midpoint /
+    * the point itself) to 1e-9, plus containment. The box center itself is
+    * emitted from the SHARED float expression so the oracle hash-anchors
+    * the coordinates too. */
+  def q41Centroid(spark: SparkSession, dir: String): DataFrame = {
+    val cen = udf((minx: Double, miny: Double, maxx: Double, maxy: Double) => {
+      val cx = (minx + maxx) / 2
+      val cy = (miny + maxy) / 2
+      val poly = Geo.boxPolyBL(minx, miny, maxx, maxy)
+      val pc = poly.getCentroid
+      val polyOk = poly.contains(pc) &&
+        math.abs(pc.getX - cx) < 1e-9 && math.abs(pc.getY - cy) < 1e-9
+      val line = Geo.factory.createLineString(Array(
+        new org.locationtech.jts.geom.Coordinate(minx, miny),
+        new org.locationtech.jts.geom.Coordinate(maxx, maxy)))
+      val lc = line.getCentroid
+      val lineOk = math.abs(lc.getX - cx) < 1e-9 && math.abs(lc.getY - cy) < 1e-9
+      val ptc = Geo.point(minx, miny).getCentroid
+      val pointOk = ptc.getX == minx && ptc.getY == miny
+      (polyOk, lineOk, pointOk)
+    })
+    pts(spark, dir)
+      .filter(col("lat") > -85.0 && col("lat") < 85.0 &&
+        col("lon") > -175.0 && col("lon") < 175.0)
+      .select(col("id"), col("lon").as("minx"), col("lat").as("miny"),
+        (col("lon") + lit(1.0) + (col("id") % 4) * lit(0.5)).as("maxx"),
+        (col("lat") + lit(0.8) + (col("id") % 3) * lit(0.5)).as("maxy"))
+      .withColumn("c", cen(col("minx"), col("miny"), col("maxx"), col("maxy")))
+      .select(col("id"),
+        ((col("minx") + col("maxx")) / lit(2.0)).as("cx"),
+        ((col("miny") + col("maxy")) / lit(2.0)).as("cy"),
+        col("c._1").as("poly_ok"), col("c._2").as("line_ok"), col("c._3").as("point_ok"))
+      .orderBy("id")
+  }
+
+  /** gj fc under the driver hash gate: the reference's whole-stream
+    * FeatureCollection, as the distributed analog — per-group ordered
+    * assembly (array_sort over collected (id, feature) structs, then
+    * array_join into the same wrapper string `GeoOps.gjFeatureCollection`
+    * emits). Features come from the REAL formatter chain
+    * (Geo.featureJsonString); coordinates are integer-derived so the JSON
+    * float formatting is oracle-reproducible (same trick as q13/q31). */
+  def q42GjFc(spark: SparkSession, dir: String): DataFrame = {
+    val feat = udf((id: Long) =>
+      Geo.featureJsonString(
+        Geo.point(((id % 360) - 180).toDouble, ((id % 180) - 90).toDouble),
+        graft.geom.JObject.empty))
+    spark.read.parquet(s"$dir/events.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("event_id").as("id"))
+      .withColumn("grp", col("id") % 97)
+      .withColumn("feature", feat(col("id")))
+      .groupBy("grp")
+      .agg(concat(lit("{\"features\":["),
+        array_join(
+          transform(array_sort(collect_list(struct(col("id"), col("feature")))),
+            x => x.getField("feature")),
+          ","),
+        lit("],\"type\":\"FeatureCollection\"}")).as("fc"))
+      .orderBy("grp")
+  }
+
   /** h3 children/compact: the 49 res+2 descendants compact back to exactly
     * the original cell (pure bit ops, pentagon-aware). */
   def q37H3Compact(spark: SparkSession, dir: String): DataFrame = {

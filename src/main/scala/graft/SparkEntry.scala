@@ -56,6 +56,8 @@ object SparkEntry {
     "q38_h3_covering" -> (Queries.q38H3Covering _),
     "q39_h3_pentagon" -> (Queries.q39H3Pentagon _),
     "q40_gh_covering" -> (Queries.q40GhCovering _),
+    "q41_centroid" -> (Queries.q41Centroid _),
+    "q42_gj_fc" -> (Queries.q42GjFc _),
   )
 
   // ---------------- oracle SQL ----------------
@@ -434,5 +436,25 @@ object SparkEntry {
          |cx AS (SELECT id, la0, la1, unnest(range(li0, li1 + 1)) AS loni FROM r),
          |cxy AS (SELECT id, loni, unnest(range(la0, la1 + 1)) AS lati FROM cx)
          |SELECT id, ${gh("loni", "lati", 3)} AS gh FROM cxy ORDER BY id, gh""".stripMargin,
+
+    "q41_centroid" ->
+      s"""WITH $P,
+         |b AS (SELECT id, lon AS minx, lat AS miny,
+         |    lon + 1.0 + (id % 4) * 0.5 AS maxx,
+         |    lat + 0.8 + (id % 3) * 0.5 AS maxy
+         |  FROM pts
+         |  WHERE lat > -85.0 AND lat < 85.0 AND lon > -175.0 AND lon < 175.0)
+         |SELECT id, (minx + maxx) / 2.0 AS cx, (miny + maxy) / 2.0 AS cy,
+         |  true AS poly_ok, true AS line_ok, true AS point_ok
+         |FROM b ORDER BY id""".stripMargin,
+
+    "q42_gj_fc" ->
+      """WITH f AS (SELECT event_id AS id, event_id % 97 AS grp,
+        |  '{"geometry":{"coordinates":[' || ((event_id % 360) - 180) || '.0,'
+        |    || ((event_id % 180) - 90) || '.0],"type":"Point"},"properties":{},"type":"Feature"}' AS feature
+        |  FROM events)
+        |SELECT grp, '{"features":[' || string_agg(feature, ',' ORDER BY id)
+        |  || '],"type":"FeatureCollection"}' AS fc
+        |FROM f GROUP BY grp ORDER BY grp""".stripMargin,
   )
 }
