@@ -421,6 +421,19 @@ object Queries {
     pairs.groupBy("rid").agg(count(lit(1)).as("n_points")).orderBy("rid")
   }
 
+  /** The q26 join written the NATURAL way — four range predicates — with
+    * the [[graft.plans.SpatialJoinRewrite]] optimizer rule enabled: the
+    * rule must turn the would-be nested-loop join into the cell-keyed
+    * equi-join AND produce hash-identical results (same oracle as q26).
+    * This puts the Catalyst rewrite itself under the driver gate. */
+  def q43NaturalJoin(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.SpatialPlanner.enable(spark)
+    val joined = pts(spark, dir).join(nationBoxes(spark, dir),
+      col("lon") >= col("minx") && col("lon") <= col("maxx") &&
+        col("lat") >= col("miny") && col("lat") <= col("maxy"))
+    joined.groupBy("rid").agg(count(lit(1)).as("n_points")).orderBy("rid")
+  }
+
   /** Exact kNN (k=5, squared-euclidean-degrees) via grid-cell ring
     * candidates + guaranteed-complete check + brute-force fallback. */
   def q25Knn(spark: SparkSession, dir: String): DataFrame = {

@@ -58,6 +58,7 @@ object SparkEntry {
     "q40_gh_covering" -> (Queries.q40GhCovering _),
     "q41_centroid" -> (Queries.q41Centroid _),
     "q42_gj_fc" -> (Queries.q42GjFc _),
+    "q43_natural_join" -> (Queries.q43NaturalJoin _),
   )
 
   // ---------------- oracle SQL ----------------
@@ -456,5 +457,19 @@ object SparkEntry {
         |SELECT grp, '{"features":[' || string_agg(feature, ',' ORDER BY id)
         |  || '],"type":"FeatureCollection"}' AS fc
         |FROM f GROUP BY grp ORDER BY grp""".stripMargin,
+
+    // identical semantics (and oracle) to q26 — the Spark side goes through
+    // the Catalyst SpatialJoinRewrite rule instead of the explicit API
+    "q43_natural_join" ->
+      s"""WITH $P,
+         |boxes AS (SELECT CAST(n_nationkey AS BIGINT) AS rid,
+         |    -180.0 + (n_nationkey * 67 % 300) AS minx,
+         |    -90.0 + (n_nationkey * 37 % 150) AS miny,
+         |    -180.0 + (n_nationkey * 67 % 300) + (n_nationkey % 13 + 10) AS maxx,
+         |    -90.0 + (n_nationkey * 37 % 150) + (n_nationkey % 11 + 5) AS maxy
+         |  FROM nation)
+         |SELECT rid, count(*) AS n_points
+         |FROM boxes JOIN pts ON lon >= minx AND lon <= maxx AND lat >= miny AND lat <= maxy
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -1,0 +1,155 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Catalyst optimizer rule: rewrite the NATURAL spatial predicate join
+  *
+  * {{{ points JOIN boxes ON x >= x0 AND x <= x1 AND y >= y0 AND y <= y1 }}}
+  *
+  * — which vanilla Spark can only plan as a (Broadcast)NestedLoopJoin,
+  * O(|points|·|boxes|) — into the engine's cell-keyed equi-join: key each
+  * point to its grid cell, explode each box to the covering cell rectangle,
+  * hash-join on the cell pair, re-apply the ORIGINAL predicate as the exact
+  * refinement. This is `SpatialJoin.joinPointsInBoxes` surfaced as an
+  * optimizer rewrite, so users write the natural condition and still get
+  * the 100 TB-correct plan.
+  *
+  * Correctness argument (same as the DataFrame version, SpatialJoinSpec):
+  * the cell map is monotone and IDENTICAL on both sides, so a point
+  * satisfying the range predicates has its cell inside the box's covering
+  * rectangle — candidate generation is a pure superset step and the kept
+  * original predicate decides membership. A qualifying pair matches on
+  * exactly ONE cell (the point's), so no duplicates are introduced. Out-of-
+  * domain coordinates clamp to the boundary cells on BOTH sides (monotone,
+  * consistent), which also bounds the per-box explode at 2^bits cells/axis.
+  * Strict vs inclusive bounds don't matter for the superset step; extra
+  * conjuncts simply ride along in the refinement.
+  *
+  * Applies to Inner and LeftSemi joins whose condition contains, for two
+  * distinct double point-side attributes, a lower and an upper bound built
+  * from the other side. Enable with [[SpatialPlanner.enable]]
+  * (`spark.experimental.extraOptimizations` — fixed-point safe via the
+  * marker-column guard).
+  */
+object SpatialJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
+
+  /** 2^bits cells per axis (64×64 world grid like joinPointsInBoxes). */
+  val BITS = 6
+  private val L = 1L << BITS
+  private val GX = "__graft_gx"
+  private val GY = "__graft_gy"
+
+  /** Monotone clamped grid index — float op order identical on both sides
+    * (mirror of SpatialJoin.cellCols with a lower clamp for unbounded
+    * domains). */
+  private def cellIdx(e: Expression): Expression =
+    Greatest(Seq(
+      Least(Seq(
+        Floor(Multiply(Divide(Add(e, Literal(180.0)), Literal(360.0)), Literal(L.toDouble))),
+        Literal(L - 1))),
+      Literal(0L)))
+
+  private final case class Bounds(lower: Expression, upper: Expression)
+
+  /** For each left-side double attribute bounded from below AND above by
+    * right-side expressions, its bounds. */
+  private def axisBounds(conjuncts: Seq[Expression], left: LogicalPlan,
+                         right: LogicalPlan): Map[Attribute, Bounds] = {
+    def isPointAttr(e: Expression): Option[Attribute] = e match {
+      case a: AttributeReference if a.dataType == DoubleType && left.outputSet.contains(a) => Some(a)
+      case _ => None
+    }
+    def isBound(e: Expression): Boolean =
+      e.dataType == DoubleType && e.references.nonEmpty &&
+        e.references.subsetOf(right.outputSet) && e.deterministic
+    val lowers = scala.collection.mutable.Map[Attribute, Expression]()
+    val uppers = scala.collection.mutable.Map[Attribute, Expression]()
+    conjuncts.foreach {
+      case GreaterThanOrEqual(a, b) if isPointAttr(a).isDefined && isBound(b) =>
+        lowers.getOrElseUpdate(isPointAttr(a).get, b)
+      case GreaterThan(a, b) if isPointAttr(a).isDefined && isBound(b) =>
+        lowers.getOrElseUpdate(isPointAttr(a).get, b)
+      case LessThanOrEqual(a, b) if isPointAttr(a).isDefined && isBound(b) =>
+        uppers.getOrElseUpdate(isPointAttr(a).get, b)
+      case LessThan(a, b) if isPointAttr(a).isDefined && isBound(b) =>
+        uppers.getOrElseUpdate(isPointAttr(a).get, b)
+      case GreaterThanOrEqual(b, a) if isPointAttr(a).isDefined && isBound(b) =>
+        uppers.getOrElseUpdate(isPointAttr(a).get, b)
+      case GreaterThan(b, a) if isPointAttr(a).isDefined && isBound(b) =>
+        uppers.getOrElseUpdate(isPointAttr(a).get, b)
+      case LessThanOrEqual(b, a) if isPointAttr(a).isDefined && isBound(b) =>
+        lowers.getOrElseUpdate(isPointAttr(a).get, b)
+      case LessThan(b, a) if isPointAttr(a).isDefined && isBound(b) =>
+        lowers.getOrElseUpdate(isPointAttr(a).get, b)
+      case _ =>
+    }
+    lowers.keySet.intersect(uppers.keySet).map { a =>
+      a -> Bounds(lowers(a), uppers(a))
+    }.toMap
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case j @ Join(left, right, jt @ (Inner | LeftSemi), Some(cond), hint)
+        if j.resolved &&
+          !left.output.exists(_.name == GX) && !right.output.exists(_.name == GX) =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      // rescue ONLY would-be nested-loop joins: any existing cross-side
+      // equality conjunct already gives the planner a hash-join key, and
+      // rewriting would just add a redundant explode (this also makes the
+      // rule a no-op on its own output — fixed-point safe twice over)
+      val hasEquiKey = conjuncts.exists {
+        case EqualTo(a, b) =>
+          (a.references.nonEmpty && a.references.subsetOf(left.outputSet) &&
+            b.references.nonEmpty && b.references.subsetOf(right.outputSet)) ||
+          (a.references.nonEmpty && a.references.subsetOf(right.outputSet) &&
+            b.references.nonEmpty && b.references.subsetOf(left.outputSet))
+        case _ => false
+      }
+      val axes = if (hasEquiKey) Map.empty[Attribute, Bounds] else axisBounds(conjuncts, left, right)
+      if (axes.size < 2) j
+      else {
+        // deterministic axis pick: the two bounded attributes in output order
+        val Seq(xa, ya) = left.output.filter(axes.contains).take(2)
+        val bx = axes(xa); val by = axes(ya)
+        // point side: one cell per row
+        val pgx = Alias(cellIdx(xa), GX)()
+        val pgy = Alias(cellIdx(ya), GY)()
+        val pts = Project(left.output :+ pgx :+ pgy, left)
+        // box side: explode the covering cell rectangle
+        val bgxAttr = AttributeReference(GX, LongType, nullable = false)()
+        val bgyAttr = AttributeReference(GY, LongType, nullable = false)()
+        // Sequence is TimeZoneAwareExpression: the analyzer normally fills
+        // the zone in — an optimizer rule must set it or the plan reports
+        // unresolved
+        def seqOf(a: Expression, b: Expression) =
+          Sequence(a, b, None, Some(conf.sessionLocalTimeZone))
+        val genX = Generate(
+          Explode(seqOf(cellIdx(bx.lower), cellIdx(bx.upper))),
+          unrequiredChildIndex = Nil, outer = false, qualifier = None,
+          generatorOutput = Seq(bgxAttr), child = right)
+        val genY = Generate(
+          Explode(seqOf(cellIdx(by.lower), cellIdx(by.upper))),
+          unrequiredChildIndex = Nil, outer = false, qualifier = None,
+          generatorOutput = Seq(bgyAttr), child = genX)
+        val newCond = And(And(
+          EqualTo(pgx.toAttribute, bgxAttr),
+          EqualTo(pgy.toAttribute, bgyAttr)), cond)
+        val rewritten = Join(pts, genY, jt, Some(newCond), hint)
+        Project(j.output, rewritten)
+      }
+  }
+}
+
+/** Entry point: opt the session into the spatial join rewrite. */
+object SpatialPlanner {
+  def enable(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.contains(SpatialJoinRewrite))
+      spark.experimental.extraOptimizations = cur :+ SpatialJoinRewrite
+  }
+}
