@@ -489,6 +489,26 @@ object Queries {
       .orderBy("image_id")
   }
 
+  /** q28's round-trip invariants with ONLY oracle-predictable columns, so
+    * the real multimodal machinery (ImageIO decode → re-encode → decode →
+    * PSNR, caption regeneration) runs under the driver HASH gate: the full
+    * id set plus two per-row booleans that are constants iff the machinery
+    * is correct (PSNR ≥ 40 dB jpeg / bit-exact png; caption byte-equality).
+    * q28 keeps the informative pixel-derived PSNR floors as rows-only. */
+  def q44ImgInvariants(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    imageTable(spark, IMG_N).map { r =>
+      val img0 = Images.decode(r.bytes)
+      val re = Images.encode(img0, r.fmt)
+      val img1 = Images.decode(re)
+      val p = Images.psnr(img0, img1)
+      val psnrOk = if (r.fmt == "png") p.isInfinite else p >= 40.0
+      val capOk = r.caption == Images.caption(r.image_id.stripPrefix("img").toLong)
+      (r.image_id, psnrOk, capOk)
+    }.toDF("image_id", "psnr_ok", "caption_ok")
+      .orderBy("image_id")
+  }
+
   /** Images joined to the nation boxes through their anchors — the
     * image-table spatial join of the north rule. */
   def q29ImgBoxJoin(spark: SparkSession, dir: String): DataFrame = {

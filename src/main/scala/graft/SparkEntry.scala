@@ -59,6 +59,7 @@ object SparkEntry {
     "q41_centroid" -> (Queries.q41Centroid _),
     "q42_gj_fc" -> (Queries.q42GjFc _),
     "q43_natural_join" -> (Queries.q43NaturalJoin _),
+    "q44_img_invariants" -> (Queries.q44ImgInvariants _),
   )
 
   // ---------------- oracle SQL ----------------
@@ -471,5 +472,13 @@ object SparkEntry {
          |SELECT rid, count(*) AS n_points
          |FROM boxes JOIN pts ON lon >= minx AND lon <= maxx AND lat >= miny AND lat <= maxy
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // invariants of the real decode->re-encode->decode round trip: the id
+    // set is deterministic and both booleans are constants iff the image
+    // machinery is correct (pixel values never cross into the output)
+    "q44_img_invariants" ->
+      s"""SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0') AS image_id,
+         |  true AS psnr_ok, true AS caption_ok
+         |FROM range(${Queries.IMG_N}) t(i) ORDER BY 1""".stripMargin,
   )
 }

@@ -57,6 +57,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming exact-dedup aggregation matches batch q17") {
+    // the pipeline dedup as an unbounded-input job: per-key (count, min-id
+    // keeper) is a streaming aggregation in complete mode — arrival order
+    // can't change min/count, so the streamed state must equal the batch
+    // answer exactly, across multiple micro-batches
+    val dir = "/root/testdata/sf0.001"
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val streamDir = java.nio.file.Files.createTempDirectory("docs_stream")
+    // two arrival batches: split rows by parity into two staged files
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    docs.filter(col("doc_id") % 2 === 0).write.mode("overwrite")
+      .parquet(streamDir.resolve("b0").toString)
+    docs.filter(col("doc_id") % 2 === 1).write.mode("overwrite")
+      .parquet(streamDir.resolve("b1").toString)
+
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(streamDir.toString)
+      .select(col("doc_id"), md5(substring(col("text"), 1, 32)).as("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_dups"), min("doc_id").as("keeper"))
+
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("dedup_state")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val streamed = spark.table("dedup_state")
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    val batch = Queries.q17DedupExact(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming H3 tile assignment matches the batch tiling") {
     // the engine's tiling operator over an unbounded point stream: per-cell
     // counts via update-mode aggregation — the T1 map + shuffle shape of the
