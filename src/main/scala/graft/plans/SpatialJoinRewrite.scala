@@ -38,20 +38,28 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   */
 object SpatialJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
-  /** 2^bits cells per axis (64×64 world grid like joinPointsInBoxes). */
-  val BITS = 6
-  private val L = 1L << BITS
+  /** 2^bits cells per axis (default 64×64 world grid like
+    * joinPointsInBoxes); tune per session with
+    * `spark.conf.set("spark.graft.spatialJoin.bits", n)` — a 100 TB point
+    * table against many small boxes wants a finer grid so each cell's
+    * candidate set stays executor-sized. */
+  val BITS_KEY = "spark.graft.spatialJoin.bits"
+  private def bits: Int = {
+    val b = conf.getConfString(BITS_KEY, "6").toInt
+    require(b >= 1 && b <= 20, s"$BITS_KEY must be in [1,20], got $b")
+    b
+  }
   private val GX = "__graft_gx"
   private val GY = "__graft_gy"
 
   /** Monotone clamped grid index — float op order identical on both sides
     * (mirror of SpatialJoin.cellCols with a lower clamp for unbounded
     * domains). */
-  private def cellIdx(e: Expression): Expression =
+  private def cellIdx(e: Expression, l: Long): Expression =
     Greatest(Seq(
       Least(Seq(
-        Floor(Multiply(Divide(Add(e, Literal(180.0)), Literal(360.0)), Literal(L.toDouble))),
-        Literal(L - 1))),
+        Floor(Multiply(Divide(Add(e, Literal(180.0)), Literal(360.0)), Literal(l.toDouble))),
+        Literal(l - 1))),
       Literal(0L)))
 
   private final case class Bounds(lower: Expression, upper: Expression)
@@ -113,12 +121,13 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       val axes = if (hasEquiKey) Map.empty[Attribute, Bounds] else axisBounds(conjuncts, left, right)
       if (axes.size < 2) j
       else {
+        val l = 1L << bits
         // deterministic axis pick: the two bounded attributes in output order
         val Seq(xa, ya) = left.output.filter(axes.contains).take(2)
         val bx = axes(xa); val by = axes(ya)
         // point side: one cell per row
-        val pgx = Alias(cellIdx(xa), GX)()
-        val pgy = Alias(cellIdx(ya), GY)()
+        val pgx = Alias(cellIdx(xa, l), GX)()
+        val pgy = Alias(cellIdx(ya, l), GY)()
         val pts = Project(left.output :+ pgx :+ pgy, left)
         // box side: explode the covering cell rectangle
         val bgxAttr = AttributeReference(GX, LongType, nullable = false)()
@@ -129,11 +138,11 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         def seqOf(a: Expression, b: Expression) =
           Sequence(a, b, None, Some(conf.sessionLocalTimeZone))
         val genX = Generate(
-          Explode(seqOf(cellIdx(bx.lower), cellIdx(bx.upper))),
+          Explode(seqOf(cellIdx(bx.lower, l), cellIdx(bx.upper, l))),
           unrequiredChildIndex = Nil, outer = false, qualifier = None,
           generatorOutput = Seq(bgxAttr), child = right)
         val genY = Generate(
-          Explode(seqOf(cellIdx(by.lower), cellIdx(by.upper))),
+          Explode(seqOf(cellIdx(by.lower, l), cellIdx(by.upper, l))),
           unrequiredChildIndex = Nil, outer = false, qualifier = None,
           generatorOutput = Seq(bgyAttr), child = genX)
         val newCond = And(And(

@@ -99,6 +99,19 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(gotM == naiveM && gotM.nonEmpty)
     val _ = mixed // documented non-match form
 
+    // 3b) a finer grid (conf-tunable) must not change results
+    graft.plans.SpatialPlanner.enable(spark)
+    spark.conf.set(graft.plans.SpatialJoinRewrite.BITS_KEY, "8")
+    try {
+      val fine = pts.join(boxes,
+        col("lon") >= col("minx") && col("lon") <= col("maxx") &&
+          col("lat") >= col("miny") && col("lat") <= col("maxy"))
+        .select("id", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(fine == got)
+    } finally spark.conf.unset(graft.plans.SpatialJoinRewrite.BITS_KEY)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == graft.plans.SpatialJoinRewrite)
+
     // 4) left-semi keeps each left row at most once
     graft.plans.SpatialPlanner.enable(spark)
     val semi = pts.join(boxes,
