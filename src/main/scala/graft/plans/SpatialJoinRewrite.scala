@@ -118,17 +118,27 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
             b.references.nonEmpty && b.references.subsetOf(left.outputSet))
         case _ => false
       }
-      val axes = if (hasEquiKey) Map.empty[Attribute, Bounds] else axisBounds(conjuncts, left, right)
-      if (axes.size < 2) j
+      // point coords on the LEFT (explode the right side) — works for
+      // Inner and LeftSemi. Mirrored form (coords on the RIGHT, explode
+      // the LEFT) only for Inner: exploding the left side would let a
+      // LeftSemi emit one row per matching cell.
+      val axesL = if (hasEquiKey) Map.empty[Attribute, Bounds] else axisBounds(conjuncts, left, right)
+      val axesR =
+        if (hasEquiKey || axesL.size >= 2 || jt != Inner) Map.empty[Attribute, Bounds]
+        else axisBounds(conjuncts, right, left)
+      if (axesL.size < 2 && axesR.size < 2) j
       else {
         val l = 1L << bits
+        val pointsOnLeft = axesL.size >= 2
+        val (ptsSide, boxSide, axes) =
+          if (pointsOnLeft) (left, right, axesL) else (right, left, axesR)
         // deterministic axis pick: the two bounded attributes in output order
-        val Seq(xa, ya) = left.output.filter(axes.contains).take(2)
+        val Seq(xa, ya) = ptsSide.output.filter(axes.contains).take(2)
         val bx = axes(xa); val by = axes(ya)
         // point side: one cell per row
         val pgx = Alias(cellIdx(xa, l), GX)()
         val pgy = Alias(cellIdx(ya, l), GY)()
-        val pts = Project(left.output :+ pgx :+ pgy, left)
+        val pts = Project(ptsSide.output :+ pgx :+ pgy, ptsSide)
         // box side: explode the covering cell rectangle
         val bgxAttr = AttributeReference(GX, LongType, nullable = false)()
         val bgyAttr = AttributeReference(GY, LongType, nullable = false)()
@@ -140,7 +150,7 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         val genX = Generate(
           Explode(seqOf(cellIdx(bx.lower, l), cellIdx(bx.upper, l))),
           unrequiredChildIndex = Nil, outer = false, qualifier = None,
-          generatorOutput = Seq(bgxAttr), child = right)
+          generatorOutput = Seq(bgxAttr), child = boxSide)
         val genY = Generate(
           Explode(seqOf(cellIdx(by.lower, l), cellIdx(by.upper, l))),
           unrequiredChildIndex = Nil, outer = false, qualifier = None,
@@ -148,7 +158,11 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         val newCond = And(And(
           EqualTo(pgx.toAttribute, bgxAttr),
           EqualTo(pgy.toAttribute, bgyAttr)), cond)
-        val rewritten = Join(pts, genY, jt, Some(newCond), hint)
+        // children keep the ORIGINAL left/right order so the join output
+        // (and LeftSemi semantics) are untouched
+        val rewritten =
+          if (pointsOnLeft) Join(pts, genY, jt, Some(newCond), hint)
+          else Join(genY, pts, jt, Some(newCond), hint)
         Project(j.output, rewritten)
       }
   }

@@ -112,6 +112,26 @@ class SpatialJoinSpec extends AnyFunSuite {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations.filterNot(_ == graft.plans.SpatialJoinRewrite)
 
+    // 3c) mirrored form: boxes on the LEFT (how q26's own oracle SQL is
+    // written) — rewritten for Inner, identical results
+    graft.plans.SpatialPlanner.enable(spark)
+    val flipped = boxes.join(pts,
+      col("lon") >= col("minx") && col("lon") <= col("maxx") &&
+        col("lat") >= col("miny") && col("lat") <= col("maxy"))
+    assert(flipped.queryExecution.executedPlan.toString.contains("__graft_gx"))
+    val gotF = flipped.select("id", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(gotF == got)
+    // mirrored LEFT-SEMI must NOT rewrite (left explode would duplicate)
+    val semiFlip = boxes.join(pts,
+      col("lon") >= col("minx") && col("lon") <= col("maxx") &&
+        col("lat") >= col("miny") && col("lat") <= col("maxy"), "left_semi")
+    assert(!semiFlip.queryExecution.executedPlan.toString.contains("__graft_gx"))
+    val semiFlipRids = semiFlip.select("rid").collect().map(_.getLong(0)).sorted.toSeq
+    assert(semiFlipRids == semiFlipRids.distinct)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == graft.plans.SpatialJoinRewrite)
+
     // 4) left-semi keeps each left row at most once
     graft.plans.SpatialPlanner.enable(spark)
     val semi = pts.join(boxes,
