@@ -67,7 +67,7 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   /** For each left-side double attribute bounded from below AND above by
     * right-side expressions, its bounds. */
   private def axisBounds(conjuncts: Seq[Expression], left: LogicalPlan,
-                         right: LogicalPlan): Map[Attribute, Bounds] = {
+                         right: LogicalPlan): AttributeMap[Bounds] = {
     def isPointAttr(e: Expression): Option[Attribute] = e match {
       case a: AttributeReference if a.dataType == DoubleType && left.outputSet.contains(a) => Some(a)
       case _ => None
@@ -96,9 +96,11 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         lowers.getOrElseUpdate(isPointAttr(a).get, b)
       case _ =>
     }
-    lowers.keySet.intersect(uppers.keySet).map { a =>
+    // AttributeMap keys by exprId — SQL-sourced condition attributes carry
+    // view qualifiers that defeat plain case-class equality against output
+    AttributeMap(lowers.keySet.intersect(uppers.keySet).map { a =>
       a -> Bounds(lowers(a), uppers(a))
-    }.toMap
+    }.toSeq)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
@@ -122,9 +124,9 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       // Inner and LeftSemi. Mirrored form (coords on the RIGHT, explode
       // the LEFT) only for Inner: exploding the left side would let a
       // LeftSemi emit one row per matching cell.
-      val axesL = if (hasEquiKey) Map.empty[Attribute, Bounds] else axisBounds(conjuncts, left, right)
+      val axesL = if (hasEquiKey) AttributeMap.empty[Bounds] else axisBounds(conjuncts, left, right)
       val axesR =
-        if (hasEquiKey || axesL.size >= 2 || jt != Inner) Map.empty[Attribute, Bounds]
+        if (hasEquiKey || axesL.size >= 2 || jt != Inner) AttributeMap.empty[Bounds]
         else axisBounds(conjuncts, right, left)
       if (axesL.size < 2 && axesR.size < 2) j
       else {
@@ -168,11 +170,19 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   }
 }
 
-/** Entry point: opt the session into the spatial join rewrite. */
+/** Runtime entry points for live sessions; new sessions should prefer
+  * `spark.sql.extensions=graft.plans.GraftExtensions`. */
 object SpatialPlanner {
+  /** Opt the session into the spatial join rewrite. */
   def enable(spark: SparkSession): Unit = {
     val cur = spark.experimental.extraOptimizations
     if (!cur.contains(SpatialJoinRewrite))
       spark.experimental.extraOptimizations = cur :+ SpatialJoinRewrite
+  }
+
+  /** Register `h3_cell(lat, lon, res)` for `spark.sql` users. */
+  def registerSql(spark: SparkSession): Unit = {
+    val (id, info, builder) = GraftExtensions.h3CellFunction
+    org.apache.spark.sql.graft.bridge.registerFunction(spark, id, info, builder)
   }
 }

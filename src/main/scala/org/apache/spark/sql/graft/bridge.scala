@@ -12,4 +12,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a catalyst-native SQL function on a LIVE session (the
+    * FunctionRegistry is `private[sql]`; new sessions should prefer
+    * `spark.sql.extensions=graft.plans.GraftExtensions`). */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession,
+                       id: org.apache.spark.sql.catalyst.FunctionIdentifier,
+                       info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.registerFunction(id, info, builder)
 }

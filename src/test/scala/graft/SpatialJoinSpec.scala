@@ -144,6 +144,48 @@ class SpatialJoinSpec extends AnyFunSuite {
       spark.experimental.extraOptimizations.filterNot(_ == graft.plans.SpatialJoinRewrite)
   }
 
+  test("SQL surface: h3_cell function + BETWEEN joins hit the same machinery") {
+    import spark.implicits._
+    graft.plans.SpatialPlanner.registerSql(spark)
+    // published anchor through pure SQL
+    val sfCell = spark.sql("SELECT h3_cell(37.3615593d, -122.0553238d, 5) AS c")
+      .collect().head.getLong(0)
+    assert(java.lang.Long.toHexString(sfCell) == "85283473fffffff")
+    // table-valued usage == kernel
+    val rows = spark.range(500).select(
+      col("id"),
+      (lit(-80.0) + col("id") * 0.31).as("lat"),
+      (lit(-170.0) + col("id") * 0.67).as("lon"))
+    rows.createOrReplaceTempView("h3pts")
+    val viaSql = spark.sql("SELECT id, h3_cell(lat, lon, 7) AS c FROM h3pts")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    rows.collect().foreach { r =>
+      assert(viaSql(r.getLong(0)) ==
+        graft.index.H3Geo.latLngToCell(r.getDouble(1), r.getDouble(2), 7))
+    }
+    // BETWEEN desugars to >=/<= before the optimizer, so the natural SQL
+    // spatial join matches the rewrite pattern too
+    graft.plans.SpatialPlanner.enable(spark)
+    val pts = spark.range(2000).map { i =>
+      (i, -170.0 + (i % 337).toDouble, -80.0 + (i % 157).toDouble)
+    }.toDF("id", "lon", "lat")
+    pts.createOrReplaceTempView("sql_pts")
+    Seq((1L, 9.0, 44.0, 11.0, 46.0), (2L, -100.0, -50.0, -60.0, 0.0))
+      .toDF("rid", "minx", "miny", "maxx", "maxy").createOrReplaceTempView("sql_boxes")
+    val sqlJoin = spark.sql(
+      """SELECT id, rid FROM sql_pts JOIN sql_boxes
+        |ON lon BETWEEN minx AND maxx AND lat BETWEEN miny AND maxy""".stripMargin)
+    assert(sqlJoin.queryExecution.executedPlan.toString.contains("__graft_gx"))
+    val got = sqlJoin.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == graft.plans.SpatialJoinRewrite)
+    val naive = spark.sql(
+      """SELECT id, rid FROM sql_pts JOIN sql_boxes
+        |ON lon BETWEEN minx AND maxx AND lat BETWEEN miny AND maxy""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == naive && got.nonEmpty)
+  }
+
   test("codegen key expressions == imperative kernels (H3CellExpr, GeoCols.ghCol)") {
     import spark.implicits._
     val df = spark.range(4000).map { i =>
