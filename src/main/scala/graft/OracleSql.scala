@@ -105,8 +105,15 @@ object OracleSql {
     * unrolled recurrence into an exponentially-sized expression tree).
     * Mirrors Vincenty.distanceFixed term-for-term. Returns the WITH-body
     * fragment; the result CTE `vfin` exposes `keep` + `meters`. */
-  def vincentyCtes(qLon: Double, qLat: Double, src: String,
-                   keep: Seq[String], iters: Int = 20): String = {
+  def vincentyCtes(qLonD: Double, qLatD: Double, src: String,
+                   keep: Seq[String], iters: Int = 20): String =
+    vincentyCtesExpr(qLonD.toString, qLatD.toString, src, keep, iters)
+
+  /** As [[vincentyCtes]] but the far endpoint is an arbitrary SQL
+    * expression over `src` columns (e.g. per-row query coordinates for a
+    * distance JOIN oracle) — the generated float math is unchanged. */
+  def vincentyCtesExpr(qLon: String, qLat: String, src: String,
+                       keep: Seq[String], iters: Int = 20): String = {
     val ks = keep.mkString(", ")
     val F = "0.0033528106647474805"
     val sb = new StringBuilder

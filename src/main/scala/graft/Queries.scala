@@ -434,6 +434,25 @@ object Queries {
     joined.groupBy("rid").agg(count(lit(1)).as("n_points")).orderBy("rid")
   }
 
+  val DJ_RADIUS = 750000.0
+
+  /** Distance (geofence) join under the driver gate: all points within
+    * 750 km (Vincenty, strict <) of ~10 query points drawn from the table.
+    * The engine runs the cell-keyed candidate path (conservative
+    * spherical-cap boxes, ±180 split) + exact refine; the oracle
+    * brute-forces the full cross product through the unrolled
+    * fixed-iteration Vincenty SQL — any candidate-insufficiency or
+    * margin bug hash-fails. */
+  def q45DwithinJoin(spark: SparkSession, dir: String): DataFrame = {
+    val p = pts(spark, dir)
+    val qs = p.filter(col("id") % 211 === 0 &&
+        col("lat") > -80.0 && col("lat") < 80.0 &&
+        col("lon") > -170.0 && col("lon") < 170.0)
+      .select(col("id").as("qid"), col("lon").as("qlon"), col("lat").as("qlat"))
+    graft.join.SpatialJoin.dwithinJoin(p, qs, DJ_RADIUS)
+      .orderBy("qid", "id")
+  }
+
   /** Exact kNN (k=5, squared-euclidean-degrees) via grid-cell ring
     * candidates + guaranteed-complete check + brute-force fallback. */
   def q25Knn(spark: SparkSession, dir: String): DataFrame = {

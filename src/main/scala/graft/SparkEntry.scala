@@ -60,6 +60,7 @@ object SparkEntry {
     "q42_gj_fc" -> (Queries.q42GjFc _),
     "q43_natural_join" -> (Queries.q43NaturalJoin _),
     "q44_img_invariants" -> (Queries.q44ImgInvariants _),
+    "q45_dwithin_join" -> (Queries.q45DwithinJoin _),
   )
 
   // ---------------- oracle SQL ----------------
@@ -480,5 +481,20 @@ object SparkEntry {
       s"""SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0') AS image_id,
          |  true AS psnr_ok, true AS caption_ok
          |FROM range(${Queries.IMG_N}) t(i) ORDER BY 1""".stripMargin,
+
+    // ground truth = full cross product through the unrolled Vincenty; the
+    // coincident-point disjunct mirrors distanceFixed's 0-distance early
+    // return (the SQL recurrence yields NaN there)
+    "q45_dwithin_join" ->
+      s"""WITH $P,
+         |q AS (SELECT id AS qid, lon AS qlon, lat AS qlat FROM pts
+         |      WHERE id % 211 = 0 AND lat > -80.0 AND lat < 80.0
+         |        AND lon > -170.0 AND lon < 170.0),
+         |x AS (SELECT p.id, q.qid, p.lon, p.lat, q.qlon, q.qlat FROM pts p CROSS JOIN q),
+         |${OracleSql.vincentyCtesExpr("qlon", "qlat", "x",
+              Seq("id", "qid", "lon", "lat", "qlon", "qlat"))}
+         |SELECT id, qid FROM vfin
+         |WHERE (lon = qlon AND lat = qlat) OR meters < ${Queries.DJ_RADIUS}
+         |ORDER BY qid, id""".stripMargin,
   )
 }

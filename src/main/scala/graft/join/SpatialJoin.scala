@@ -80,6 +80,58 @@ object SpatialJoin {
       .select(col("id"), col("rid"))
   }
 
+  /** Distance (geofence) join: all (point, query) pairs with Vincenty
+    * distance strictly under `meters`. Candidates come from a conservative
+    * per-query bounding box — spherical-cap majorants with ellipsoid
+    * margins (R = 6,300,000 m under every WGS84 curvature radius, ×1.02):
+    * Δlat ≤ r°·1.02 and Δlon ≤ asin(sin r / cos|φ|)·1.02, full-longitude
+    * cover when the cap nears a pole — split at ±180 into 1-2 boxes, then
+    * the same cell-keyed equi-join as [[joinPointsInBoxes]] and the exact
+    * fixed-iteration Vincenty refine. Candidate generation is a pure
+    * superset step (any sufficiency error is caught by the q45 cross-
+    * product oracle); the refine is the single source of truth.
+    * Scale shape: the query side explodes to O(cells-per-cap) rows and
+    * broadcasts or shuffles on the cell key; the 100 TB point side is
+    * keyed once and never amplified. */
+  def dwithinJoin(points: DataFrame, queries: DataFrame, meters: Double,
+                  bits: Int = 6): DataFrame = {
+    val boxesOf = udf((qlon: Double, qlat: Double) => {
+      val rDeg = math.toDegrees(meters / 6300000.0) * 1.02
+      val miny = math.max(qlat - rDeg, -90.0)
+      val maxy = math.min(qlat + rDeg, 90.0)
+      val dLon =
+        if (math.abs(qlat) + rDeg >= 89.0) 360.0
+        else {
+          val s = math.sin(math.toRadians(rDeg)) / math.cos(math.toRadians(math.abs(qlat)))
+          if (s >= 1.0) 360.0 else math.toDegrees(math.asin(s)) * 1.02
+        }
+      val x0 = qlon - dLon; val x1 = qlon + dLon
+      if (dLon >= 180.0) Seq((-180.0, miny, 180.0, maxy))
+      else if (x0 < -180.0) Seq((x0 + 360.0, miny, 180.0, maxy), (-180.0, miny, x1, maxy))
+      else if (x1 > 180.0) Seq((x0, miny, 180.0, maxy), (-180.0, miny, x1 - 360.0, maxy))
+      else Seq((x0, miny, x1, maxy))
+    })
+    val boxes = queries
+      .withColumn("b", explode(boxesOf(col("qlon"), col("qlat"))))
+      .select(col("qid"), col("qlon"), col("qlat"),
+        col("b._1").as("minx"), col("b._2").as("miny"),
+        col("b._3").as("maxx"), col("b._4").as("maxy"))
+    val (bx0, by0) = cellCols(col("minx"), col("miny"), bits)
+    val (bx1, by1) = cellCols(col("maxx"), col("maxy"), bits)
+    val boxCells = boxes
+      .withColumn("cx", explode(sequence(bx0, bx1)))
+      .withColumn("cy", explode(sequence(by0, by1)))
+    val (pcx, pcy) = cellCols(col("lon"), col("lat"), bits)
+    val pts = points.withColumn("cx", pcx).withColumn("cy", pcy)
+    val vin = udf((lon: Double, lat: Double, qlon: Double, qlat: Double) =>
+      graft.geom.Vincenty.distanceFixed(lon, lat, qlon, qlat))
+    pts.join(boxCells, Seq("cx", "cy"))
+      .filter(col("lon") >= col("minx") && col("lon") <= col("maxx") &&
+        col("lat") >= col("miny") && col("lat") <= col("maxy"))
+      .filter(vin(col("lon"), col("lat"), col("qlon"), col("qlat")) < meters)
+      .select(col("id"), col("qid"))
+  }
+
   /** Exact kNN of `queries` (query_id, qlon, qlat) among `points`
     * (id, lon, lat) under squared-euclidean-degrees, ties by id.
     * Returns (query_id, rank, neighbor_id, dist2), rank 1..k. */

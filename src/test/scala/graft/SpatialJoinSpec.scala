@@ -144,6 +144,47 @@ class SpatialJoinSpec extends AnyFunSuite {
       spark.experimental.extraOptimizations.filterNot(_ == graft.plans.SpatialJoinRewrite)
   }
 
+  test("dwithinJoin == brute force, including polar and antimeridian queries") {
+    import spark.implicits._
+    val scattered = (0 until 3000).map { i =>
+      (i.toLong, -180.0 + ((i * 7) % 3571) * 0.1007, -90.0 + ((i * 11) % 1777) * 0.1013)
+    }
+    // dense deterministic clusters straddling ±180 at the two meridian
+    // queries' latitudes, so across-the-meridian matches must exist
+    val clustered = (0 until 200).map { j =>
+      val lon = if (j % 2 == 0) 179.05 + (j % 18) * 0.05 else -179.95 + (j % 18) * 0.05
+      val lat = if (j < 100) 8.0 + (j / 20) * 0.8 else -37.0 + ((j - 100) / 20) * 0.8
+      (3000L + j, lon, lat)
+    }
+    val pts = (scattered ++ clustered).toDF("id", "lon", "lat")
+    // queries the ORACLE deliberately avoids: near a pole, hugging ±180,
+    // plus two ordinary ones
+    val qs = Seq(
+      (1L, 10.0, 45.0), (2L, -60.0, -20.0),
+      (3L, 178.9, 10.0),   // antimeridian: cap wraps past +180
+      (4L, -179.2, -35.0), // antimeridian, other side
+      (5L, 30.0, 88.5),    // polar cap: crosses the pole, all longitudes
+      (6L, 0.0, -89.0))    // south polar
+      .toDF("qid", "qlon", "qlat")
+    val R = 600000.0
+    val got = SpatialJoin.dwithinJoin(pts, qs, R)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val hit = udf((lon: Double, lat: Double, qlon: Double, qlat: Double) =>
+      graft.geom.Vincenty.distanceFixed(lon, lat, qlon, qlat) < R)
+    val brute = pts.crossJoin(qs)
+      .filter(hit(col("lon"), col("lat"), col("qlon"), col("qlat")))
+      .select("id", "qid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == brute)
+    // the hard cases really matched rows (the test isn't vacuous)
+    Seq(3L, 4L, 5L, 6L).foreach { q =>
+      assert(brute.exists(_._2 == q), s"query $q matched nothing — weak fixture")
+    }
+    // wrap evidence: query 3's matches include points west of -179
+    val wrapIds = brute.filter(_._2 == 3L).map(_._1).toSet
+    val wests = pts.filter(col("lon") < -179.0).select("id").collect().map(_.getLong(0)).toSet
+    assert(wrapIds.intersect(wests).nonEmpty, "no across-the-meridian match for query 3")
+  }
+
   test("SQL surface: h3_cell function + BETWEEN joins hit the same machinery") {
     import spark.implicits._
     graft.plans.SpatialPlanner.registerSql(spark)
