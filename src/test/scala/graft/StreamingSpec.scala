@@ -96,6 +96,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming geofence join (stream-static) matches the batch dwithinJoin") {
+    // unbounded points against a broadcast set of geofences: the SAME
+    // dwithinJoin operator runs on a readStream input (stream-static inner
+    // join, append mode — no state needed) and must emit exactly the batch
+    // pairs once all arrivals are processed
+    val dir = "/root/testdata/sf0.001"
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val streamDir = java.nio.file.Files.createTempDirectory("geofence_stream")
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    ev.filter(col("event_id") % 2 === 0).write.mode("overwrite")
+      .parquet(streamDir.resolve("b0").toString)
+    ev.filter(col("event_id") % 2 === 1).write.mode("overwrite")
+      .parquet(streamDir.resolve("b1").toString)
+
+    def ptsCols(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("event_id").as("id"),
+      (lit(-90.0) + lit(180.0) *
+        (((col("event_id") * lit(2654435761L)) % lit(4294967296L)) / lit(4294967296.0))).as("lat"),
+      (lit(-180.0) + lit(360.0) *
+        (((col("event_id") * lit(2246822519L)) % lit(4294967296L)) / lit(4294967296.0))).as("lon"))
+
+    val queries = ptsCols(ev).filter(col("id") % 211 === 0)
+      .select(col("id").as("qid"), col("lon").as("qlon"), col("lat").as("qlat"))
+
+    val streamPts = ptsCols(spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(streamDir.toString))
+
+    val joined = graft.join.SpatialJoin.dwithinJoin(streamPts, queries, 750000.0)
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("geofence_pairs")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val streamed = spark.table("geofence_pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val batch = graft.join.SpatialJoin.dwithinJoin(ptsCols(ev), queries, 750000.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming H3 tile assignment matches the batch tiling") {
     // the engine's tiling operator over an unbounded point stream: per-cell
     // counts via update-mode aggregation — the T1 map + shuffle shape of the
