@@ -453,6 +453,20 @@ object Queries {
       .orderBy("qid", "id")
   }
 
+  /** Exact GEODESIC kNN (k=5, Vincenty meters) via radius rounds with the
+    * completeness proof + brute-force fallback — the geodesic counterpart
+    * of q25's euclidean kNN. Oracle: full cross product through the
+    * unrolled Vincenty, ranked by (meters, id). */
+  def q46KnnGeodesic(spark: SparkSession, dir: String): DataFrame = {
+    val p = pts(spark, dir)
+    val qs = p.filter(col("id") % 211 === 0 &&
+        col("lat") > -80.0 && col("lat") < 80.0 &&
+        col("lon") > -170.0 && col("lon") < 170.0)
+      .select(col("id").as("qid"), col("lon").as("qlon"), col("lat").as("qlat"))
+    graft.join.SpatialJoin.knnGeodesic(p, qs, k = 5)
+      .orderBy("qid", "rank")
+  }
+
   /** Exact kNN (k=5, squared-euclidean-degrees) via grid-cell ring
     * candidates + guaranteed-complete check + brute-force fallback. */
   def q25Knn(spark: SparkSession, dir: String): DataFrame = {

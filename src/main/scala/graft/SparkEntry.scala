@@ -61,6 +61,7 @@ object SparkEntry {
     "q43_natural_join" -> (Queries.q43NaturalJoin _),
     "q44_img_invariants" -> (Queries.q44ImgInvariants _),
     "q45_dwithin_join" -> (Queries.q45DwithinJoin _),
+    "q46_knn_geodesic" -> (Queries.q46KnnGeodesic _),
   )
 
   // ---------------- oracle SQL ----------------
@@ -496,5 +497,25 @@ object SparkEntry {
          |SELECT id, qid FROM vfin
          |WHERE (lon = qlon AND lat = qlat) OR meters < ${Queries.DJ_RADIUS}
          |ORDER BY qid, id""".stripMargin,
+
+    // geodesic kNN ground truth: cross product + unrolled Vincenty, ranked
+    // by (meters, id); the CASE mirrors distanceFixed's coincident-point
+    // 0-distance early return (the SQL recurrence yields NaN there)
+    "q46_knn_geodesic" ->
+      s"""WITH $P,
+         |q AS (SELECT id AS qid, lon AS qlon, lat AS qlat FROM pts
+         |      WHERE id % 211 = 0 AND lat > -80.0 AND lat < 80.0
+         |        AND lon > -170.0 AND lon < 170.0),
+         |x AS (SELECT p.id, q.qid, p.lon, p.lat, q.qlon, q.qlat FROM pts p CROSS JOIN q),
+         |${OracleSql.vincentyCtesExpr("qlon", "qlat", "x",
+              Seq("id", "qid", "lon", "lat", "qlon", "qlat"))},
+         |d AS (SELECT id, qid,
+         |        CASE WHEN lon = qlon AND lat = qlat THEN 0.0 ELSE meters END AS m
+         |      FROM vfin),
+         |r AS (SELECT qid, id,
+         |        row_number() OVER (PARTITION BY qid ORDER BY m ASC, id ASC) AS rank
+         |      FROM d)
+         |SELECT qid, rank, id AS neighbor_id FROM r WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin,
   )
 }

@@ -94,7 +94,14 @@ object SpatialJoin {
     * broadcasts or shuffles on the cell key; the 100 TB point side is
     * keyed once and never amplified. */
   def dwithinJoin(points: DataFrame, queries: DataFrame, meters: Double,
-                  bits: Int = 6): DataFrame = {
+                  bits: Int = 6): DataFrame =
+    dwithinPairs(points, queries, meters, bits).select(col("id"), col("qid"))
+
+  /** [[dwithinJoin]] candidates + exact Vincenty refine, keeping the
+    * distance: (id, qid, meters) with meters < the cutoff. Shared by the
+    * geofence join and the geodesic kNN's radius rounds. */
+  private[join] def dwithinPairs(points: DataFrame, queries: DataFrame,
+                                 meters: Double, bits: Int): DataFrame = {
     val boxesOf = udf((qlon: Double, qlat: Double) => {
       val rDeg = math.toDegrees(meters / 6300000.0) * 1.02
       val miny = math.max(qlat - rDeg, -90.0)
@@ -128,8 +135,57 @@ object SpatialJoin {
     pts.join(boxCells, Seq("cx", "cy"))
       .filter(col("lon") >= col("minx") && col("lon") <= col("maxx") &&
         col("lat") >= col("miny") && col("lat") <= col("maxy"))
-      .filter(vin(col("lon"), col("lat"), col("qlon"), col("qlat")) < meters)
-      .select(col("id"), col("qid"))
+      .withColumn("meters", vin(col("lon"), col("lat"), col("qlon"), col("qlat")))
+      .filter(col("meters") < meters)
+      .select(col("id"), col("qid"), col("meters"))
+  }
+
+  /** Exact GEODESIC kNN: for each query (qid, qlon, qlat), the k nearest
+    * points by Vincenty distance, ties by id — (qid, rank, neighbor_id).
+    *
+    * Radius-round pattern (the geodesic analog of [[knn]]'s ring proof):
+    * round r gathers all points strictly within the current radius (the
+    * cap-box candidates are a PROVEN superset of the radius disk), and a
+    * query is complete once it has ≥ k of them — every excluded point is
+    * ≥ radius away, strictly beyond the kth candidate, so the local top-k
+    * is the global top-k. Incomplete queries (sparse neighborhoods)
+    * escalate the radius ×4 for `rounds` rounds; stragglers fall back to
+    * a broadcast brute force. Exact at every radius schedule; the
+    * schedule only moves cost. */
+  def knnGeodesic(points: DataFrame, queries: DataFrame, k: Int,
+                  initMeters: Double = 400000.0, rounds: Int = 3,
+                  bits: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("qid").orderBy(col("meters").asc, col("id").asc)
+    def topk(pairs: DataFrame): DataFrame =
+      pairs.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("qid"), col("rank"), col("id").as("neighbor_id"))
+
+    var remaining = queries
+    var radius = initMeters
+    var acc: Option[DataFrame] = None
+    var r = 0
+    while (r < rounds && !remaining.isEmpty) {
+      val cand = dwithinPairs(points, remaining, radius, bits)
+      val complete = cand.groupBy("qid").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= k).select("qid")
+      val solved = topk(cand.join(complete, Seq("qid")))
+      acc = Some(acc.map(_.unionByName(solved)).getOrElse(solved))
+      remaining = remaining.join(complete, Seq("qid"), "left_anti")
+      radius *= 4.0
+      r += 1
+    }
+    if (!remaining.isEmpty) {
+      // brute force the sparse stragglers: tiny query side, broadcast
+      val vin = udf((lon: Double, lat: Double, qlon: Double, qlat: Double) =>
+        graft.geom.Vincenty.distanceFixed(lon, lat, qlon, qlat))
+      val brute = points.crossJoin(broadcast(remaining))
+        .withColumn("meters", vin(col("lon"), col("lat"), col("qlon"), col("qlat")))
+        .select(col("id"), col("qid"), col("meters"))
+      acc = Some(acc.map(_.unionByName(topk(brute))).getOrElse(topk(brute)))
+    }
+    acc.getOrElse(points.sparkSession.emptyDataFrame)
   }
 
   /** Exact kNN of `queries` (query_id, qlon, qlat) among `points`

@@ -185,6 +185,46 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(wrapIds.intersect(wests).nonEmpty, "no across-the-meridian match for query 3")
   }
 
+  test("knnGeodesic == brute force through every path (round-1, escalation, fallback)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // sparse global scatter + one dense cluster at query 1: with a small
+    // initial radius, query 1 resolves in round 1, some resolve after
+    // escalation, and the sparsest only in the brute-force fallback
+    val scattered = (0 until 400).map { i =>
+      (i.toLong, -180.0 + ((i * 131) % 3571) * 0.1007, -90.0 + ((i * 173) % 1777) * 0.1013)
+    }
+    val cluster = (0 until 6).map(j => (400L + j, 10.0 + j * 0.1, 45.0 + j * 0.05))
+    val pts = (scattered ++ cluster).toDF("id", "lon", "lat")
+    val qs = Seq(
+      (1L, 10.0, 45.0), (2L, -60.0, -20.0), (3L, 178.9, 10.0),
+      (4L, -179.2, -35.0), (5L, 30.0, 88.5), (6L, 0.0, -89.0))
+      .toDF("qid", "qlon", "qlat")
+    val got = SpatialJoin.knnGeodesic(pts, qs, k = 4, initMeters = 150000.0, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    val vin = udf((lon: Double, lat: Double, qlon: Double, qlat: Double) =>
+      graft.geom.Vincenty.distanceFixed(lon, lat, qlon, qlat))
+    val w = Window.partitionBy("qid").orderBy(col("m").asc, col("id").asc)
+    val brute = pts.crossJoin(qs)
+      .withColumn("m", vin(col("lon"), col("lat"), col("qlon"), col("qlat")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 4)
+      .select("qid", "rank", "id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(got == brute)
+    assert(got.size == 6 * 4)
+    // path coverage sanity (queries counted at each radius of the schedule):
+    // query 1 has >= k within the OPENING radius (round-1 path), and at
+    // least one query lacks k within the FINAL radius (fallback path)
+    def withinCount(radius: Double): Map[Long, Long] = pts.crossJoin(qs)
+      .withColumn("m", vin(col("lon"), col("lat"), col("qlon"), col("qlat")))
+      .filter(col("m") < radius).groupBy("qid").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(withinCount(150000.0).getOrElse(1L, 0L) >= 4, "round-1 path not exercised")
+    val atFinal = withinCount(150000.0 * 4)
+    assert(qs.collect().exists(r => atFinal.getOrElse(r.getLong(0), 0L) < 4),
+      "all queries resolved before the fallback — weaken initMeters to test it")
+  }
+
   test("SQL surface: h3_cell function + BETWEEN joins hit the same machinery") {
     import spark.implicits._
     graft.plans.SpatialPlanner.registerSql(spark)
