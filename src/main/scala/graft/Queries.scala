@@ -453,6 +453,22 @@ object Queries {
       .orderBy("qid", "id")
   }
 
+  /** Rectangle × rectangle intersection join under the driver gate: small
+    * per-event boxes against the nation boxes through the both-sides-
+    * exploded cell join (+ candidate dedupe); the oracle is the plain SQL
+    * range-intersection join. */
+  def q47BoxJoin(spark: SparkSession, dir: String): DataFrame = {
+    val a = pts(spark, dir)
+      .filter(col("id") % 17 === 0 &&
+        col("lat") > -85.0 && col("lat") < 85.0 &&
+        col("lon") > -175.0 && col("lon") < 175.0)
+      .select(col("id"), col("lon").as("minx"), col("lat").as("miny"),
+        (col("lon") + lit(1.0) + (col("id") % 4) * lit(0.5)).as("maxx"),
+        (col("lat") + lit(0.8) + (col("id") % 3) * lit(0.5)).as("maxy"))
+    graft.join.SpatialJoin.joinBoxesBoxes(a, nationBoxes(spark, dir))
+      .orderBy("id", "rid")
+  }
+
   /** Exact GEODESIC kNN (k=5, Vincenty meters) via radius rounds with the
     * completeness proof + brute-force fallback — the geodesic counterpart
     * of q25's euclidean kNN. Oracle: full cross product through the

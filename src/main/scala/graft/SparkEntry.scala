@@ -62,6 +62,7 @@ object SparkEntry {
     "q44_img_invariants" -> (Queries.q44ImgInvariants _),
     "q45_dwithin_join" -> (Queries.q45DwithinJoin _),
     "q46_knn_geodesic" -> (Queries.q46KnnGeodesic _),
+    "q47_box_join" -> (Queries.q47BoxJoin _),
   )
 
   // ---------------- oracle SQL ----------------
@@ -517,5 +518,23 @@ object SparkEntry {
          |      FROM d)
          |SELECT qid, rank, id AS neighbor_id FROM r WHERE rank <= 5
          |ORDER BY qid, rank""".stripMargin,
+
+    "q47_box_join" ->
+      s"""WITH $P,
+         |a AS (SELECT id, lon AS minx, lat AS miny,
+         |    lon + 1.0 + (id % 4) * 0.5 AS maxx,
+         |    lat + 0.8 + (id % 3) * 0.5 AS maxy
+         |  FROM pts
+         |  WHERE id % 17 = 0 AND lat > -85.0 AND lat < 85.0
+         |    AND lon > -175.0 AND lon < 175.0),
+         |b AS (SELECT CAST(n_nationkey AS BIGINT) AS rid,
+         |    -180.0 + (n_nationkey * 67 % 300) AS bminx,
+         |    -90.0 + (n_nationkey * 37 % 150) AS bminy,
+         |    -180.0 + (n_nationkey * 67 % 300) + (n_nationkey % 13 + 10) AS bmaxx,
+         |    -90.0 + (n_nationkey * 37 % 150) + (n_nationkey % 11 + 5) AS bmaxy
+         |  FROM nation)
+         |SELECT id, rid FROM a JOIN b
+         |ON minx <= bmaxx AND maxx >= bminx AND miny <= bmaxy AND maxy >= bminy
+         |ORDER BY id, rid""".stripMargin,
   )
 }

@@ -80,6 +80,34 @@ object SpatialJoin {
       .select(col("id"), col("rid"))
   }
 
+  /** Rectangle × rectangle intersection join: (id, rid) pairs whose boxes
+    * intersect (inclusive edges). BOTH sides explode to their covering
+    * cells — unlike the point joins a pair can share SEVERAL cells, so
+    * candidates are deduped before the exact refine (the dedupe shuffle is
+    * the price of two big sides; with one small side prefer
+    * [[joinPointsInBoxes]]-style single-cell keying). */
+  def joinBoxesBoxes(a: DataFrame, b: DataFrame, bits: Int = 6): DataFrame = {
+    def cells(df: DataFrame) = {
+      val (x0, y0) = cellCols(col("minx"), col("miny"), bits)
+      val (x1, y1) = cellCols(col("maxx"), col("maxy"), bits)
+      df.withColumn("cx", explode(sequence(x0, x1)))
+        .withColumn("cy", explode(sequence(y0, y1)))
+    }
+    val aa = cells(a)
+      .select(col("id"), col("cx"), col("cy"),
+        col("minx").as("aminx"), col("miny").as("aminy"),
+        col("maxx").as("amaxx"), col("maxy").as("amaxy"))
+    val bb = cells(b)
+      .select(col("rid"), col("cx"), col("cy"),
+        col("minx").as("bminx"), col("miny").as("bminy"),
+        col("maxx").as("bmaxx"), col("maxy").as("bmaxy"))
+    aa.join(bb, Seq("cx", "cy"))
+      .filter(col("aminx") <= col("bmaxx") && col("amaxx") >= col("bminx") &&
+        col("aminy") <= col("bmaxy") && col("amaxy") >= col("bminy"))
+      .select(col("id"), col("rid"))
+      .distinct()
+  }
+
   /** Distance (geofence) join: all (point, query) pairs with Vincenty
     * distance strictly under `meters`. Candidates come from a conservative
     * per-query bounding box — spherical-cap majorants with ellipsoid
