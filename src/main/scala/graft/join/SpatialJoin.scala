@@ -195,12 +195,16 @@ object SpatialJoin {
     var acc: Option[DataFrame] = None
     var r = 0
     while (r < rounds && !remaining.isEmpty) {
-      val cand = dwithinPairs(points, remaining, radius, bits)
+      // one candidate scan per round: persist the pair set (three consumers
+      // below), materialize the small per-round outputs eagerly
+      // (localCheckpoint) so the cache can be dropped before the next round
+      val cand = dwithinPairs(points, remaining, radius, bits).persist()
       val complete = cand.groupBy("qid").agg(count(lit(1)).as("n"))
         .filter(col("n") >= k).select("qid")
-      val solved = topk(cand.join(complete, Seq("qid")))
+      val solved = topk(cand.join(complete, Seq("qid"))).localCheckpoint(true)
       acc = Some(acc.map(_.unionByName(solved)).getOrElse(solved))
-      remaining = remaining.join(complete, Seq("qid"), "left_anti")
+      remaining = remaining.join(complete, Seq("qid"), "left_anti").localCheckpoint(true)
+      cand.unpersist()
       radius *= 4.0
       r += 1
     }
@@ -213,7 +217,10 @@ object SpatialJoin {
         .select(col("id"), col("qid"), col("meters"))
       acc = Some(acc.map(_.unionByName(topk(brute))).getOrElse(topk(brute)))
     }
-    acc.getOrElse(points.sparkSession.emptyDataFrame)
+    // typed empty result when the query side is empty (a zero-column
+    // emptyDataFrame would break schema-dependent consumers)
+    acc.getOrElse(queries.limit(0)
+      .select(col("qid"), lit(1).as("rank"), col("qid").as("neighbor_id")))
   }
 
   /** Exact kNN of `queries` (query_id, qlon, qlat) among `points`

@@ -225,6 +225,17 @@ class SpatialJoinSpec extends AnyFunSuite {
       "all queries resolved before the fallback — weaken initMeters to test it")
   }
 
+  test("q43 rewrites in a CHILD session without leaking the rule to the parent") {
+    val before = spark.experimental.extraOptimizations
+    val df = Queries.q43NaturalJoin(spark, "/root/testdata/sf0.001")
+    // the child-session plan really went through the rewrite...
+    assert(df.queryExecution.executedPlan.toString.contains("__graft_gx"))
+    assert(df.collect().nonEmpty)
+    // ...and the parent session's optimizer config is untouched
+    assert(spark.experimental.extraOptimizations == before)
+    assert(!spark.experimental.extraOptimizations.contains(graft.plans.SpatialJoinRewrite))
+  }
+
   test("SQL surface: h3_cell function + BETWEEN joins hit the same machinery") {
     import spark.implicits._
     graft.plans.SpatialPlanner.registerSql(spark)
