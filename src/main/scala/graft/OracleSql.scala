@@ -26,6 +26,17 @@ object OracleSql {
       |  FROM events
       |)""".stripMargin
 
+  /** [[PTS_CTE]]'s hash fractions mapped into a 2°×2° box at the origin —
+    * the dense clustered regime for the small-radius geofence join (q48).
+    * Spark side must mirror this expression 1:1 (Queries.clusteredPts). */
+  val CPTS_CTE: String =
+    """cpts AS (
+      |  SELECT event_id AS id,
+      |    2.0 * (((event_id * 2654435761) % 4294967296) / 4294967296.0) AS lat,
+      |    2.0 * (((event_id * 2246822519) % 4294967296) / 4294967296.0) AS lon
+      |  FROM events
+      |)""".stripMargin
+
   /** Quantized cell indices for geohash precision `len` (world domain).
     * `floor(((x + off) / ext) * 2^bits)` — same float op order as the Spark
     * side; LEAST guards the x == max edge. */

@@ -31,15 +31,22 @@ object Queries {
       (lit(-180.0) + lit(360.0) *
         (((col("event_id") * lit(2246822519L)) % lit(4294967296L)) / lit(4294967296.0))).as("lon"))
 
-  /** floor(((x + off) / ext) * 2^bits) clamped — identical op order to
-    * OracleSql.lonIdxSql/latIdxSql. */
+  /** floor(((x + off) / ext) * 2^bits) clamped BOTH ways — identical float
+    * op order to OracleSql.lonIdxSql/latIdxSql (the GREATEST lower clamp is
+    * a no-op for in-domain world coordinates, so oracle parity holds; it
+    * keeps out-of-domain inputs from producing negative indices where the
+    * arithmetic-vs-logical shift paths of ghCol/fromIndices diverge). */
   def lonIdxCol(len: Int): Column = {
     val cells = 1L << Geohash.lonBitsFor(len)
-    least(floor(((col("lon") + lit(180.0)) / lit(360.0)) * lit(cells.toDouble)), lit(cells - 1))
+    greatest(
+      least(floor(((col("lon") + lit(180.0)) / lit(360.0)) * lit(cells.toDouble)), lit(cells - 1)),
+      lit(0L))
   }
   def latIdxCol(len: Int): Column = {
     val cells = 1L << Geohash.latBitsFor(len)
-    least(floor(((col("lat") + lit(90.0)) / lit(180.0)) * lit(cells.toDouble)), lit(cells - 1))
+    greatest(
+      least(floor(((col("lat") + lit(90.0)) / lit(180.0)) * lit(cells.toDouble)), lit(cells - 1)),
+      lit(0L))
   }
 
   /** Codegen'd column mirror of `Geohash.fromIndices` (differentially
@@ -309,9 +316,10 @@ object Queries {
   // one cached signature table per (session, dir), shared by q19 and q34
   // (a second .cache() on an identical plan leaks a CacheManager entry and
   // warns; memoizing gives both consumers the same handle). Keyed by the
-  // session UUID so a rebuilt SparkSession never receives a DataFrame bound
-  // to a stopped SparkContext. Input mutation under a cached dir serves the
-  // cached snapshot — standard Spark cache semantics.
+  // genuinely-unique session UUID (identity hash codes can recur after GC)
+  // so a rebuilt SparkSession never receives a DataFrame bound to a stopped
+  // SparkContext. Input mutation under a cached dir serves the cached
+  // snapshot — standard Spark cache semantics.
   private val sigCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   def q19MinhashPairs(spark: SparkSession, dir: String): DataFrame = {
@@ -319,7 +327,7 @@ object Queries {
     // cache so the shingle/minhash UDF chain runs once, not 4×. (At 100 TB
     // signatures are a persisted column, not a recomputed expression.)
     val sigs = sigCache.computeIfAbsent(
-      s"${System.identityHashCode(spark)}|$dir",
+      s"${org.apache.spark.sql.graft.bridge.sessionUUID(spark)}|$dir",
       _ => q18MinhashSig(spark, dir).cache())
     val bands = (0 until 2).map { b =>
       sigs.select(col("doc_id"),
@@ -459,6 +467,38 @@ object Queries {
         col("lon") > -170.0 && col("lon") < 170.0)
       .select(col("id").as("qid"), col("lon").as("qlon"), col("lat").as("qlat"))
     graft.join.SpatialJoin.dwithinJoin(p, qs, DJ_RADIUS)
+      .orderBy("qid", "id")
+  }
+
+  /** Dense clustered points — the same multiplicative-hash fractions as
+    * [[pts]] mapped into a 2°×2° box at the origin (mirror of
+    * OracleSql CPTS): ~0.2 points/km² at sf0.01, the city-density regime
+    * where a SMALL geofence radius against a fixed 620 km candidate grid
+    * would put every point and every query in the same one or two cells. */
+  def clusteredPts(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(
+        col("event_id").as("id"),
+        (lit(2.0) *
+          (((col("event_id") * lit(2654435761L)) % lit(4294967296L)) / lit(4294967296.0))).as("lat"),
+        (lit(2.0) *
+          (((col("event_id") * lit(2246822519L)) % lit(4294967296L)) / lit(4294967296.0))).as("lon"))
+
+  val CL_RADIUS = 5000.0
+
+  /** Small-radius geofence join under the driver gate: all clustered points
+    * within 5 km (Vincenty, strict <) of ~1-in-211 query points drawn from
+    * the same set. This is the regime where the RADIUS-ADAPTIVE candidate
+    * grid matters (auto bits ≈ 11 → ~10 km cells vs the old fixed 620 km
+    * cells — SpatialJoinSpec asserts the candidate-count gap); the oracle
+    * is the same cross-product-through-unrolled-Vincenty as q45, so any
+    * candidate insufficiency at the fine grid hash-fails. */
+  def q48DwithinSmall(spark: SparkSession, dir: String): DataFrame = {
+    val p = clusteredPts(spark, dir)
+    val qs = p.filter(col("id") % 211 === 0)
+      .select(col("id").as("qid"), col("lon").as("qlon"), col("lat").as("qlat"))
+    graft.join.SpatialJoin.dwithinJoin(p, qs, CL_RADIUS)
       .orderBy("qid", "id")
   }
 
@@ -803,11 +843,16 @@ object Queries {
       // vertex carries ~1e-12 of float jitter either way. Vertex sharing
       // IS polygon touching for a hex tiling, at a fraction of the JTS
       // polygon-distance cost (this is the bench's hottest member loop).
+      // The lon delta is scaled by cos(lat) (pole-safe: lon jitter for the
+      // same geometric vertex is amplified by 1/cos(lat) near the poles)
+      // and taken mod 360 so an antimeridian-straddling edge still matches.
       val bc = H3Geo.cellBoundary(cell)
       val nTouch = members.count { m =>
         H3Geo.cellBoundary(m).exists { case (la, ln) =>
           bc.exists { case (bla, bln) =>
-            math.abs(la - bla) < 1e-6 && math.abs(ln - bln) < 1e-6
+            val dLon = math.abs(ln - bln)
+            math.abs(la - bla) < 1e-6 &&
+              math.min(dLon, 360.0 - dLon) * math.cos(math.toRadians(bla)) < 1e-6
           }
         }
       }

@@ -63,6 +63,7 @@ object SparkEntry {
     "q45_dwithin_join" -> (Queries.q45DwithinJoin _),
     "q46_knn_geodesic" -> (Queries.q46KnnGeodesic _),
     "q47_box_join" -> (Queries.q47BoxJoin _),
+    "q48_dwithin_small" -> (Queries.q48DwithinSmall _),
   )
 
   // ---------------- oracle SQL ----------------
@@ -520,6 +521,19 @@ object SparkEntry {
          |      FROM d)
          |SELECT qid, rank, id AS neighbor_id FROM r WHERE rank <= 5
          |ORDER BY qid, rank""".stripMargin,
+
+    // small-radius geofence ground truth: the same cross product through
+    // the unrolled Vincenty as q45, over the clustered point set — gates
+    // the radius-ADAPTIVE candidate grid (auto bits ≈ 11 at 5 km)
+    "q48_dwithin_small" ->
+      s"""WITH ${OracleSql.CPTS_CTE},
+         |q AS (SELECT id AS qid, lon AS qlon, lat AS qlat FROM cpts WHERE id % 211 = 0),
+         |x AS (SELECT p.id, q.qid, p.lon, p.lat, q.qlon, q.qlat FROM cpts p CROSS JOIN q),
+         |${OracleSql.vincentyCtesExpr("qlon", "qlat", "x",
+              Seq("id", "qid", "lon", "lat", "qlon", "qlat"))}
+         |SELECT id, qid FROM vfin
+         |WHERE (lon = qlon AND lat = qlat) OR meters < ${Queries.CL_RADIUS}
+         |ORDER BY qid, id""".stripMargin,
 
     "q47_box_join" ->
       s"""WITH $P,

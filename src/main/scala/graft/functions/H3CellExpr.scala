@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Native Catalyst expression for H3 point encoding: `latLngToCell(lat,
   * lon, res)` as a codegen'd call instead of a Scala UDF. On the hot
@@ -15,9 +15,15 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * codegen-on and codegen-off plans are identical by construction.
   */
 case class H3CellExpr(left: Expression, right: Expression, res: Int)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
 
   override def dataType: DataType = LongType
+  // the analyzer inserts implicit casts (or fails analysis) for non-double
+  // inputs, so the SQL surface and the codegen/interpreted paths all see
+  // doubles — without this, an IntegerType input would silently widen under
+  // codegen but ClassCastException under nullSafeEval. (Covariant override:
+  // AbstractDataType itself is private[sql]; Seq[DataType] narrows it.)
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType)
   override def prettyName: String = "h3_cell"
 
   override protected def nullSafeEval(lat: Any, lon: Any): Any =

@@ -23,11 +23,14 @@ import org.apache.spark.sql.expressions.Window
   */
 object SpatialJoin {
 
-  /** Integer grid cell ids at `bits` bits/axis over the lon/lat world box. */
+  /** Integer grid cell ids at `bits` bits/axis over the lon/lat world box —
+    * clamped BOTH ways (monotone and identical on both join sides, so
+    * out-of-domain coordinates land on boundary cells instead of negative
+    * indices; candidate-superset reasoning is unaffected). */
   def cellCols(lon: Column, lat: Column, bits: Int): (Column, Column) = {
     val l = 1L << bits
-    (least(floor(((lon + lit(180.0)) / lit(360.0)) * lit(l.toDouble)), lit(l - 1)).cast("int"),
-     least(floor(((lat + lit(90.0)) / lit(180.0)) * lit(l.toDouble)), lit(l - 1)).cast("int"))
+    (greatest(least(floor(((lon + lit(180.0)) / lit(360.0)) * lit(l.toDouble)), lit(l - 1)), lit(0L)).cast("int"),
+     greatest(least(floor(((lat + lit(90.0)) / lit(180.0)) * lit(l.toDouble)), lit(l - 1)), lit(0L)).cast("int"))
   }
 
   /** Spatial inner join: `left` (id, lon, lat) points × `right`
@@ -120,16 +123,59 @@ object SpatialJoin {
     * product oracle); the refine is the single source of truth.
     * Scale shape: the query side explodes to O(cells-per-cap) rows and
     * broadcasts or shuffles on the cell key; the 100 TB point side is
-    * keyed once and never amplified. */
+    * keyed once and never amplified. The candidate grid is RADIUS-ADAPTIVE
+    * by default ([[bitsForRadius]]): a 1 km geofence gets a ~0.01° grid, a
+    * 1000 km one a ~11° grid, so candidate amplification is bounded by a
+    * constant multiple of the cap area at every radius — a fixed grid
+    * joined every point in a ~620 km cell against every query in it no
+    * matter how small the fence. Pass `bits` explicitly to override. */
   def dwithinJoin(points: DataFrame, queries: DataFrame, meters: Double,
-                  bits: Int = 6): DataFrame =
+                  bits: Int = AUTO_BITS): DataFrame =
     dwithinPairs(points, queries, meters, bits).select(col("id"), col("qid"))
+
+  /** Sentinel: derive the grid from the radius ([[bitsForRadius]]). */
+  val AUTO_BITS: Int = -1
+
+  /** The finest world grid whose cell width comfortably exceeds the
+    * (margined) cap-box half-extent: lon cells are 360/2^bits wide, so
+    * pick the largest bits with 360/2^bits ≥ 2·rDeg (lat cells are half
+    * that and still ≥ rDeg). A query cap then explodes to ≤ ~3 cells per
+    * axis at the equator (more only with the honest 1/cos φ lon widening
+    * near the poles), while each candidate cell holds only points within
+    * O(radius) — candidate count scales with the cap area, not with a
+    * fixed 620 km cell. Clamped to [1, 20]. */
+  def bitsForRadius(meters: Double): Int = {
+    val rDeg = math.toDegrees(meters / 6300000.0) * 1.02
+    val b = math.floor(math.log(180.0 / rDeg) / math.log(2.0)).toInt
+    math.max(1, math.min(20, b))
+  }
+
+  private def resolveBits(bits: Int, meters: Double): Int =
+    if (bits == AUTO_BITS) bitsForRadius(meters) else bits
 
   /** [[dwithinJoin]] candidates + exact Vincenty refine, keeping the
     * distance: (id, qid, meters) with meters < the cutoff. Shared by the
     * geofence join and the geodesic kNN's radius rounds. */
   private[join] def dwithinPairs(points: DataFrame, queries: DataFrame,
                                  meters: Double, bits: Int): DataFrame = {
+    val vin = udf((lon: Double, lat: Double, qlon: Double, qlat: Double) =>
+      graft.geom.Vincenty.distanceFixed(lon, lat, qlon, qlat))
+    dwithinCellJoin(points, queries, meters, bits)
+      .filter(col("lon") >= col("minx") && col("lon") <= col("maxx") &&
+        col("lat") >= col("miny") && col("lat") <= col("maxy"))
+      .withColumn("meters", vin(col("lon"), col("lat"), col("qlon"), col("qlat")))
+      .filter(col("meters") < meters)
+      .select(col("id"), col("qid"), col("meters"))
+  }
+
+  /** The raw cell-keyed candidate join (pre box-filter, pre refine) — the
+    * row count that actually prices the join at a given grid granularity
+    * (every row here is scanned by the box filter and, if it survives, by
+    * the iterative Vincenty). Exposed for the grid-adaptivity assertion in
+    * SpatialJoinSpec. */
+  private[graft] def dwithinCellJoin(points: DataFrame, queries: DataFrame,
+                                     meters: Double, bits: Int): DataFrame = {
+    val b = resolveBits(bits, meters)
     val boxesOf = udf((qlon: Double, qlat: Double) => {
       val rDeg = math.toDegrees(meters / 6300000.0) * 1.02
       val miny = math.max(qlat - rDeg, -90.0)
@@ -151,21 +197,14 @@ object SpatialJoin {
       .select(col("qid"), col("qlon"), col("qlat"),
         col("b._1").as("minx"), col("b._2").as("miny"),
         col("b._3").as("maxx"), col("b._4").as("maxy"))
-    val (bx0, by0) = cellCols(col("minx"), col("miny"), bits)
-    val (bx1, by1) = cellCols(col("maxx"), col("maxy"), bits)
+    val (bx0, by0) = cellCols(col("minx"), col("miny"), b)
+    val (bx1, by1) = cellCols(col("maxx"), col("maxy"), b)
     val boxCells = boxes
       .withColumn("cx", explode(sequence(bx0, bx1)))
       .withColumn("cy", explode(sequence(by0, by1)))
-    val (pcx, pcy) = cellCols(col("lon"), col("lat"), bits)
+    val (pcx, pcy) = cellCols(col("lon"), col("lat"), b)
     val pts = points.withColumn("cx", pcx).withColumn("cy", pcy)
-    val vin = udf((lon: Double, lat: Double, qlon: Double, qlat: Double) =>
-      graft.geom.Vincenty.distanceFixed(lon, lat, qlon, qlat))
     pts.join(boxCells, Seq("cx", "cy"))
-      .filter(col("lon") >= col("minx") && col("lon") <= col("maxx") &&
-        col("lat") >= col("miny") && col("lat") <= col("maxy"))
-      .withColumn("meters", vin(col("lon"), col("lat"), col("qlon"), col("qlat")))
-      .filter(col("meters") < meters)
-      .select(col("id"), col("qid"), col("meters"))
   }
 
   /** Exact GEODESIC kNN: for each query (qid, qlon, qlat), the k nearest
@@ -179,10 +218,13 @@ object SpatialJoin {
     * is the global top-k. Incomplete queries (sparse neighborhoods)
     * escalate the radius ×4 for `rounds` rounds; stragglers fall back to
     * a broadcast brute force. Exact at every radius schedule; the
-    * schedule only moves cost. */
+    * schedule only moves cost. The candidate grid tracks the CURRENT
+    * round's radius by default ([[bitsForRadius]]) — early small-radius
+    * rounds use a fine grid, escalated rounds a coarser one — so the
+    * per-round candidate set stays proportional to the cap area. */
   def knnGeodesic(points: DataFrame, queries: DataFrame, k: Int,
                   initMeters: Double = 400000.0, rounds: Int = 3,
-                  bits: Int = 6): DataFrame = {
+                  bits: Int = AUTO_BITS): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("qid").orderBy(col("meters").asc, col("id").asc)
     def topk(pairs: DataFrame): DataFrame =

@@ -46,7 +46,10 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   val BITS_KEY = "spark.graft.spatialJoin.bits"
   private def bits: Int = {
     val b = conf.getConfString(BITS_KEY, "6").toInt
-    require(b >= 1 && b <= 20, s"$BITS_KEY must be in [1,20], got $b")
+    // cap at 12: the box side chains two Generates, so a world-spanning box
+    // explodes to (2^bits)^2 cells — 2^24 ≈ 16.7M rows worst case at 12,
+    // survivable; at 20 it would be ~10^12 rows from one conf setting
+    require(b >= 1 && b <= 12, s"$BITS_KEY must be in [1,12], got $b")
     b
   }
   private val GX = "__graft_gx"

@@ -225,6 +225,41 @@ class SpatialJoinSpec extends AnyFunSuite {
       "all queries resolved before the fallback — weaken initMeters to test it")
   }
 
+  test("radius-adaptive grid: small-radius candidates shrink by orders of magnitude vs fixed bits=6") {
+    import spark.implicits._
+    // clustered regime (the q48 shape): 4000 points in a 2°x2° box, 20
+    // queries drawn from them, 5 km geofence
+    val pts = spark.range(4000).map { i =>
+      (i, 2.0 * (((i * 2246822519L) % 4294967296L) / 4294967296.0),
+        2.0 * (((i * 2654435761L) % 4294967296L) / 4294967296.0))
+    }.toDF("id", "lon", "lat")
+    val qs = pts.filter(col("id") % 200 === 0)
+      .select(col("id").as("qid"), col("lon").as("qlon"), col("lat").as("qlat"))
+    val R = 5000.0
+    // the auto grid really is much finer than the old fixed default
+    val autoBits = SpatialJoin.bitsForRadius(R)
+    assert(autoBits >= 10, s"expected a fine grid at 5 km, got bits=$autoBits")
+    assert(SpatialJoin.bitsForRadius(750000.0) <= 6) // coarse at 750 km
+    assert(SpatialJoin.bitsForRadius(0.001) == 20)   // clamp hi
+    assert(SpatialJoin.bitsForRadius(4.0e7) == 1)    // clamp lo
+    // candidate rows actually priced by the join: >=50x fewer on the fine
+    // grid (fixed 620 km cells put the whole cluster in 1-2 cells)
+    val candAuto = SpatialJoin.dwithinCellJoin(pts, qs, R, autoBits).count()
+    val candFixed = SpatialJoin.dwithinCellJoin(pts, qs, R, 6).count()
+    assert(candAuto * 50 <= candFixed,
+      s"auto-grid candidates $candAuto not << fixed-grid $candFixed")
+    // and the join through AUTO_BITS is still exact vs brute force
+    val got = SpatialJoin.dwithinJoin(pts, qs, R)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val hit = udf((lon: Double, lat: Double, qlon: Double, qlat: Double) =>
+      graft.geom.Vincenty.distanceFixed(lon, lat, qlon, qlat) < R)
+    val brute = pts.crossJoin(qs)
+      .filter(hit(col("lon"), col("lat"), col("qlon"), col("qlat")))
+      .select("id", "qid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == brute)
+    assert(got.size > qs.count(), "no non-self matches — weak fixture")
+  }
+
   test("q43 rewrites in a CHILD session without leaking the rule to the parent") {
     val before = spark.experimental.extraOptimizations
     val df = Queries.q43NaturalJoin(spark, "/root/testdata/sf0.001")
