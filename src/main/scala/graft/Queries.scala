@@ -558,14 +558,33 @@ object Queries {
 
   val IMG_N = 2000L
 
-  /** Tile assignment of images by phash-derived anchor → per-tile counts
-    * (the north rule's raster→vector tiling over the image table). */
-  def q27ImgTiles(spark: SparkSession, dir: String): DataFrame = {
+  /** Fixed parquet path for the persisted image-anchor table — the bridge
+    * that puts the image queries under the driver HASH gate: the engine
+    * derives (image_id, phash, lon, lat) through the REAL pipeline
+    * (render → encode → decode → phash → anchor), persists it, and both
+    * engines compute the downstream geometry from the STORED columns. The
+    * oracle inner-joins the expected id set, so a missing/malformed row
+    * diverges the counts and hash-fails. */
+  val ANCHORS_PATH = "/root/repo/.oracle_aux/img_anchors"
+
+  private def imgAnchors(spark: SparkSession): DataFrame = {
     import spark.implicits._
     imageTable(spark, IMG_N)
-      .map(r => graft.index.Geohash.encode(
-        Images.anchorLat(r.phash), Images.anchorLon(r.phash), 2))
-      .toDF("tile")
+      .map(r => (r.image_id, r.phash, Images.anchorLon(r.phash), Images.anchorLat(r.phash)))
+      .toDF("image_id", "phash", "lon", "lat")
+      .write.mode("overwrite").parquet(ANCHORS_PATH)
+    spark.read.parquet(ANCHORS_PATH)
+  }
+
+  /** Tile assignment of images by phash-derived anchor → per-tile counts
+    * (the north rule's raster→vector tiling over the image table). The
+    * kernel bisection encoder and the oracle's floor mirror agree exactly:
+    * anchor coords are dyadic rationals (k/2^32 scalings), so every float
+    * op in both chains is exact. */
+  def q27ImgTiles(spark: SparkSession, dir: String): DataFrame = {
+    val tile = udf((lat: Double, lon: Double) => graft.index.Geohash.encode(lat, lon, 2))
+    imgAnchors(spark)
+      .withColumn("tile", tile(col("lat"), col("lon")))
       .groupBy("tile").agg(count(lit(1)).as("n_images"))
       .orderBy("tile")
   }
@@ -608,12 +627,12 @@ object Queries {
   }
 
   /** Images joined to the nation boxes through their anchors — the
-    * image-table spatial join of the north rule. */
+    * image-table spatial join of the north rule. Runs the cell-keyed
+    * equi-join over the PERSISTED anchor table; the oracle replays the
+    * plain range join from the stored columns. */
   def q29ImgBoxJoin(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val anchors = imageTable(spark, IMG_N)
-      .map(r => (r.image_id, Images.anchorLon(r.phash), Images.anchorLat(r.phash)))
-      .toDF("id", "lon", "lat")
+    val anchors = imgAnchors(spark)
+      .select(col("image_id").as("id"), col("lon"), col("lat"))
     graft.join.SpatialJoin.joinPointsInBoxes(anchors, nationBoxes(spark, dir))
       .groupBy("rid").agg(count(lit(1)).as("n_images"))
       .orderBy("rid")

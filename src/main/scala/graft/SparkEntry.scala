@@ -42,6 +42,10 @@ object SparkEntry {
     "q26_spatial_join" -> (Queries.q26SpatialJoin _),
     // image queries: rows-only driver check (phash is pixel-derived, not
     // SQL-expressible); invariants asserted in ImagesSpec
+    // q27/q29 persist the deterministic anchor table to parquet inside the
+    // query, so their oracles recompute tiling / the box join from the
+    // STORED columns — full hash gates. q28 stays rows-only (pixel-derived
+    // PSNR floors are not SQL-expressible); its invariants gate via q44.
     "q27_img_tiles" -> (Queries.q27ImgTiles _),
     "q28_img_roundtrip" -> (Queries.q28ImgRoundtrip _),
     "q29_img_box_join" -> (Queries.q29ImgBoxJoin _),
@@ -319,6 +323,42 @@ object SparkEntry {
          |SELECT rid, count(*) AS n_points
          |FROM boxes JOIN pts ON lon >= minx AND lon <= maxx AND lat >= miny AND lat <= maxy
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q27/q29: the engine persisted the anchor table (image_id, phash,
+    // lon, lat) through the REAL image pipeline; the oracle recomputes the
+    // geohash tiling / box join from the STORED columns. The inner join to
+    // the expected id set makes missing or malformed rows diverge counts.
+    // Anchor coords are dyadic (k/2^32 scalings): every float op in the
+    // kernel bisection encoder and in this floor mirror is exact.
+    "q27_img_tiles" -> {
+      val ids = s"SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0') AS image_id " +
+        s"FROM range(${Queries.IMG_N}) t(i)"
+      s"""WITH a AS (
+         |  SELECT x.lon, x.lat
+         |  FROM read_parquet('${Queries.ANCHORS_PATH}/*.parquet') x
+         |  JOIN ($ids) e USING (image_id)),
+         |idx AS (SELECT ${li(2)} AS loni, ${la(2)} AS lati FROM a)
+         |SELECT ${gh("loni", "lati", 2)} AS tile, count(*) AS n_images
+         |FROM idx GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "q29_img_box_join" -> {
+      val ids = s"SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0') AS image_id " +
+        s"FROM range(${Queries.IMG_N}) t(i)"
+      s"""WITH a AS (
+         |  SELECT x.lon, x.lat
+         |  FROM read_parquet('${Queries.ANCHORS_PATH}/*.parquet') x
+         |  JOIN ($ids) e USING (image_id)),
+         |boxes AS (SELECT CAST(n_nationkey AS BIGINT) AS rid,
+         |    -180.0 + (n_nationkey * 67 % 300) AS minx,
+         |    -90.0 + (n_nationkey * 37 % 150) AS miny,
+         |    -180.0 + (n_nationkey * 67 % 300) + (n_nationkey % 13 + 10) AS maxx,
+         |    -90.0 + (n_nationkey * 37 % 150) + (n_nationkey % 11 + 5) AS maxy
+         |  FROM nation)
+         |SELECT rid, count(*) AS n_images
+         |FROM boxes JOIN a ON lon >= minx AND lon <= maxx AND lat >= miny AND lat <= maxy
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "q31_munge" ->
       s"""WITH $P
