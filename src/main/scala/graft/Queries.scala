@@ -691,6 +691,47 @@ object Queries {
       .orderBy("g")
   }
 
+  /** VW-preserve simplify under the driver HASH gate (q30 stays rows-only
+    * for arbitrary inputs): constructed integer polylines make the
+    * Visvalingam–Whyatt elimination CLOSED-FORM, so the surviving vertex
+    * set is pure SQL. Per event: 17 vertices at x = 0..16; anchors at even
+    * x on the convex parabola y = 100x² (effective area ≥ 150 in EVERY
+    * neighbor configuration — never eliminated at ε = 4.5); teeth at odd x
+    * at y = 100(x²+1) + d with d ∈ 1..8 from hash bits. A tooth's
+    * effective triangle area is exactly d (integer cross products, exact
+    * in doubles), teeth are pairwise non-adjacent, and a removed tooth
+    * only changes its anchor neighbors' areas (which stay ≥ 150) — so
+    * eliminations never interact and the survivors are exactly
+    * {anchors} ∪ {teeth with d ≥ 5}, independent of heap order. The
+    * x-monotone chain also guarantees the topology-preservation guard
+    * never fires (shortcuts only share endpoints with other segments).
+    * The REAL kernel (ops/Simplify, ref `commands/simplify.rs:5-28`) runs
+    * on the Spark side; the oracle predicts (n_after, kept coordinate
+    * checksum) from the same integer hash math — any elimination-order,
+    * area, or topology defect hash-fails. */
+  def q49SimplifyVw(spark: SparkSession, dir: String): DataFrame = {
+    val run = udf((id: Long) => {
+      val h = (id * 2654435761L) % 4294967296L
+      val coords = (0 to 16).map { i =>
+        val y =
+          if (i % 2 == 0) 100L * i * i
+          else 100L * (i * i + 1) + (1L + ((h >> (3 * ((i - 1) / 2))) % 8L))
+        new org.locationtech.jts.geom.Coordinate(i.toDouble, y.toDouble)
+      }.toArray
+      val simp = graft.ops.Simplify.simplify(
+        Geo.factory.createLineString(coords), 4.5)
+      val kept = simp.getCoordinates
+      (kept.length.toLong, kept.map(c => c.x.toLong * 1000000L + c.y.toLong).sum)
+    })
+    spark.read.parquet(s"$dir/events.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("event_id").as("id"))
+      .withColumn("r", run(col("id")))
+      .select(col("id"), lit(17L).as("n_before"),
+        col("r._1").as("n_after"), col("r._2").as("kept_sum"))
+      .orderBy("id")
+  }
+
   /** IVF-style ANN — the scale path for similarity search: partition vectors
     * into coarse buckets (nearest of 16 seed centroids by dot product),
     * probe the 4 best buckets per query, exact top-3 within probed buckets.

@@ -68,6 +68,7 @@ object SparkEntry {
     "q46_knn_geodesic" -> (Queries.q46KnnGeodesic _),
     "q47_box_join" -> (Queries.q47BoxJoin _),
     "q48_dwithin_small" -> (Queries.q48DwithinSmall _),
+    "q49_simplify_vw" -> (Queries.q49SimplifyVw _),
   )
 
   // ---------------- oracle SQL ----------------
@@ -574,6 +575,26 @@ object SparkEntry {
          |SELECT id, qid FROM vfin
          |WHERE (lon = qlon AND lat = qlat) OR meters < ${Queries.CL_RADIUS}
          |ORDER BY qid, id""".stripMargin,
+
+    // VW-simplify ground truth: the closed-form construction (see
+    // Queries.q49SimplifyVw) makes survivors = anchors + teeth with d >= 5;
+    // the oracle rebuilds the vertices from the same integer hash math and
+    // predicts the surviving count and coordinate checksum exactly
+    "q49_simplify_vw" ->
+      """WITH h AS (SELECT event_id AS id,
+        |    ((event_id * 2654435761) % 4294967296) AS hh FROM events),
+        |v AS (SELECT id, hh, unnest(range(0, 17)) AS i FROM h),
+        |w AS (SELECT id, i,
+        |    CASE WHEN i % 2 = 0 THEN 100 * i * i
+        |         ELSE 100 * (i * i + 1) + (1 + ((hh >> (3 * ((i - 1) // 2))) % 8)) END AS y,
+        |    CASE WHEN i % 2 = 1
+        |           AND (1 + ((hh >> (3 * ((i - 1) // 2))) % 8)) <= 4
+        |         THEN 1 ELSE 0 END AS removed
+        |  FROM v)
+        |SELECT id, CAST(17 AS BIGINT) AS n_before,
+        |  CAST(17 - sum(removed) AS BIGINT) AS n_after,
+        |  CAST(sum(CASE WHEN removed = 0 THEN i * 1000000 + y ELSE 0 END) AS BIGINT) AS kept_sum
+        |FROM w GROUP BY id ORDER BY id""".stripMargin,
 
     "q47_box_join" ->
       s"""WITH $P,
