@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -30,9 +30,15 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * Strict vs inclusive bounds don't matter for the superset step; extra
   * conjuncts simply ride along in the refinement.
   *
-  * Applies to Inner and LeftSemi joins whose condition contains, for two
-  * distinct double point-side attributes, a lower and an upper bound built
-  * from the other side. Enable with [[SpatialPlanner.enable]]
+  * Applies to Inner, LeftSemi and LeftAnti joins whose condition contains,
+  * for two distinct double point-side attributes, a lower and an upper
+  * bound built from the other side. LeftAnti (the scale form of the
+  * reference's `--negate` filters, `commands/filter.rs:110-119`) is safe
+  * for the same reason LeftSemi is: the point side keys to exactly ONE
+  * cell, so cond-satisfying right rows survive the cell equi-filter
+  * unduplicated — a left row has a rewritten match iff it has an original
+  * match, hence identical anti semantics. The mirrored (explode-the-left)
+  * form stays Inner-only. Enable with [[SpatialPlanner.enable]]
   * (`spark.experimental.extraOptimizations` — fixed-point safe via the
   * marker-column guard).
   */
@@ -107,7 +113,7 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case j @ Join(left, right, jt @ (Inner | LeftSemi), Some(cond), hint)
+    case j @ Join(left, right, jt @ (Inner | LeftSemi | LeftAnti), Some(cond), hint)
         if j.resolved &&
           !left.output.exists(_.name == GX) && !right.output.exists(_.name == GX) =>
       val conjuncts = splitConjunctivePredicates(cond)
@@ -124,9 +130,9 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         case _ => false
       }
       // point coords on the LEFT (explode the right side) — works for
-      // Inner and LeftSemi. Mirrored form (coords on the RIGHT, explode
-      // the LEFT) only for Inner: exploding the left side would let a
-      // LeftSemi emit one row per matching cell.
+      // Inner, LeftSemi and LeftAnti. Mirrored form (coords on the RIGHT,
+      // explode the LEFT) only for Inner: exploding the left side would
+      // let a LeftSemi/LeftAnti emit one row per matching cell.
       val axesL = if (hasEquiKey) AttributeMap.empty[Bounds] else axisBounds(conjuncts, left, right)
       val axesR =
         if (hasEquiKey || axesL.size >= 2 || jt != Inner) AttributeMap.empty[Bounds]

@@ -140,6 +140,41 @@ class SpatialJoinSpec extends AnyFunSuite {
     val semiIds = semi.select("id").collect().map(_.getLong(0)).sorted.toSeq
     assert(semiIds == semiIds.distinct)
     assert(semiIds == got.map(_._1).distinct.sorted)
+
+    // 5) LEFT ANTI (the reference's `--negate` filters at scale): rewritten
+    //    — no nested loop — and exactly the complement of the semi ids.
+    //    Drop the near-world box (it matches every point → vacuous anti).
+    val someBoxes = boxes.filter(col("rid") =!= 4L)
+    val anti = pts.join(someBoxes,
+      col("lon") >= col("minx") && col("lon") <= col("maxx") &&
+        col("lat") >= col("miny") && col("lat") <= col("maxy"), "left_anti")
+    val planA = anti.queryExecution.executedPlan.toString
+    assert(!planA.contains("NestedLoopJoin"), planA)
+    assert(planA.contains("__graft_gx"), planA)
+    val antiIds = anti.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(antiIds == antiIds.distinct)
+    val semiSome = pts.join(someBoxes,
+      col("lon") >= col("minx") && col("lon") <= col("maxx") &&
+        col("lat") >= col("miny") && col("lat") <= col("maxy"), "left_semi")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val allIds = pts.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert((antiIds ++ semiSome).sorted == allIds)
+    assert(antiIds.nonEmpty && semiSome.nonEmpty)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == graft.plans.SpatialJoinRewrite)
+    // rule-free anti join agrees (same keep/drop decisions as
+    // GeoOps.filterIntersects --negate semantics on axis-aligned queries)
+    val naiveA = pts.join(someBoxes,
+      col("lon") >= col("minx") && col("lon") <= col("maxx") &&
+        col("lat") >= col("miny") && col("lat") <= col("maxy"), "left_anti")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(antiIds == naiveA)
+    // mirrored LEFT-ANTI must NOT rewrite (left explode would duplicate)
+    graft.plans.SpatialPlanner.enable(spark)
+    val antiFlip = boxes.join(pts,
+      col("lon") >= col("minx") && col("lon") <= col("maxx") &&
+        col("lat") >= col("miny") && col("lat") <= col("maxy"), "left_anti")
+    assert(!antiFlip.queryExecution.executedPlan.toString.contains("__graft_gx"))
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations.filterNot(_ == graft.plans.SpatialJoinRewrite)
   }
