@@ -28,14 +28,37 @@ object H3Cover {
     * `keep` selects which visited intersecting cells are emitted. */
   private def flood(g: Geometry, seed: Long, res: Int, keep: Long => Boolean): Set[Long] = {
     val prep = PreparedGeometryFactory.prepare(g)
+    val env = g.getEnvelopeInternal
     val seen = scala.collection.mutable.Set[Long](seed)
     val queue = scala.collection.mutable.Queue[Long](seed)
     val out = scala.collection.mutable.Set[Long]()
     while (queue.nonEmpty) {
       val cell = queue.dequeue()
+      // Envelope pre-filter: most tested cells are the flood's FRONTIER
+      // ring (visited, found non-intersecting, discarded); for an ordinary
+      // non-wrapping cell the vertex min/max IS the planar polygon's exact
+      // envelope, so envelope-disjoint cells skip geometry construction
+      // and the prepared intersects entirely. Wrap/pole suspects (lon span
+      // > 180°) fall through to the full split test — pure fast-path, no
+      // decision change.
+      val b = H3Geo.cellBoundaryCached(cell)
+      var minLat = 90.0; var maxLat = -90.0
+      var minLon = 180.0; var maxLon = -180.0
+      var i = 0
+      while (i < b.length) {
+        val la = b(i)._1; val lo = b(i)._2
+        if (la < minLat) minLat = la
+        if (la > maxLat) maxLat = la
+        if (lo < minLon) minLon = lo
+        if (lo > maxLon) maxLon = lo
+        i += 1
+      }
+      val mayHit = (maxLon - minLon > 180.0) ||
+        !(maxLon < env.getMinX || minLon > env.getMaxX ||
+          maxLat < env.getMinY || minLat > env.getMaxY)
       // split geometry: cells straddling ±180 (or a pole) test correctly
       // against planar query geometry instead of wrapping the whole map
-      if (prep.intersects(H3Geo.cellGeometrySplit(cell))) {
+      if (mayHit && prep.intersects(H3Geo.cellGeometrySplitCached(cell))) {
         if (keep(cell)) out += cell
         H3Geo.neighbors(cell).foreach { n =>
           if (!seen.contains(n)) { seen += n; queue += n }
@@ -91,6 +114,69 @@ object H3Cover {
     case other =>
       throw GeoqException(
         s"geoq h3 polyfill requires Polygon or MultiPolygon geometries -- got ${other.getGeometryType}")
+  }
+
+  /** All 122 res-0 base cells (mode 1, res 0, all digits set to 7). */
+  def res0Cells: Seq[Long] =
+    (0 until 122).map(bc => (1L << 59) | (bc.toLong << 45) | ((1L << 45) - 1))
+
+  /** The reference's TOP-DOWN multi-resolution covering — written but never
+    * wired to its CLI (`commands/h3.rs:291-418` is dead code; implemented
+    * here as an optional mode so every reference algorithm has a twin).
+    * Descend group-by-group from a start cover: when every cell of a
+    * sibling group has its CENTER inside the geometry (and the group is
+    * below `minRes`'s depth), emit the PARENT — multi-resolution
+    * compaction on the fly; otherwise recurse into the intersecting cells'
+    * children, emitting center-contained cells at `maxRes`.
+    *
+    * Documented deviations from the dead reference code:
+    *  - its start-cell search iterates `(max_res..=0)` — an EMPTY Rust
+    *    range — so it always fell back to the 122 res-0 cells; we
+    *    implement the evident intent (finest single cell at the centroid
+    *    whose polygon covers the geometry, else the res-0 fallback);
+    *  - cells are emitted in ascending unsigned id order (the reference
+    *    emits in queue order and was never golden-tested);
+    *  - geometry tests use the antimeridian/pole-safe split form, like
+    *    every other covering here.
+    *
+    * Properties (H3GeoSpec): expanding the result to `maxRes` is a
+    * SUPERSET of `polygonCells(g, maxRes)`; every emitted `maxRes` cell is
+    * in that polyfill; no emitted cell is an ancestor of another. */
+  def topDownCovering(g: Geometry, minRes: Int, maxRes: Int): Set[Long] = {
+    if (minRes > maxRes || minRes < 0 || maxRes > 15)
+      throw GeoqException(
+        s"Min resolution must be less than or equal to max resolution. Got min: $minRes, max: $maxRes")
+    if (g.isEmpty) return Set.empty
+    val prep = PreparedGeometryFactory.prepare(g)
+    val cen = g.getCentroid
+    val start: Seq[Long] = (maxRes to 0 by -1).iterator
+      .map(r => H3Geo.latLngToCell(cen.getY, cen.getX, r))
+      .find(c => H3Geo.cellGeometrySplit(c).covers(g))
+      .map(Seq(_))
+      .getOrElse(res0Cells)
+    final case class Group(cells: Seq[Long], res: Int, parent: Option[Long])
+    val queue = scala.collection.mutable.Queue[Group](
+      Group(start, H3.resolution(start.head), None))
+    val out = scala.collection.mutable.Set[Long]()
+    while (queue.nonEmpty) {
+      val grp = queue.dequeue()
+      val rels = grp.cells.map { cell =>
+        val (la, ln) = H3Geo.cellToLatLng(cell)
+        (cell,
+          prep.intersects(H3Geo.cellGeometrySplitCached(cell)),
+          prep.contains(H3Geo.gf.createPoint(new Coordinate(ln, la))))
+      }
+      if (grp.res > minRes && rels.forall(_._3) && grp.parent.isDefined)
+        out += grp.parent.get // whole sibling set interior → keep the parent
+      else rels.foreach { case (cell, intersects, cenIn) =>
+        if (intersects) {
+          if (grp.res == maxRes) { if (cenIn) out += cell }
+          else if (grp.res < 15)
+            queue += Group(H3.cellToChildren(cell, grp.res + 1), grp.res + 1, Some(cell))
+        }
+      }
+    }
+    out.toSet
   }
 
   /** H3 compaction: replace every complete sibling set (7 children; 6 for a

@@ -304,8 +304,46 @@ object H3Geo {
     *  - cells containing a pole (the unwrapped ring winds 360°) → closed
     *    over the pole with two synthetic ±90 corners, then split the same
     *    way. Whole-earth tilings (H3Cover floods) use this form. */
-  def cellGeometrySplit(cell: Long): org.locationtech.jts.geom.Geometry = {
-    val b = cellBoundary(cell)
+  def cellGeometrySplit(cell: Long): org.locationtech.jts.geom.Geometry =
+    cellGeometrySplitOf(cellBoundary(cell))
+
+  // --- per-thread boundary/geometry memo ---------------------------------
+  // Consecutive covering floods on one row revisit the SAME cells (e.g. a
+  // polyfill flood and a line flood whose frontier rings overlap), and
+  // boundary + split-polygon construction dominates the flood constant. A
+  // small per-thread LRU makes the revisit free with zero cross-thread
+  // sharing (JTS geometries lazily cache internal state — envelopes etc. —
+  // and must stay thread-confined). Entries are immutable by convention:
+  // every consumer only READS the returned boundary/geometry.
+  private final class Lru[K, V](cap: Int)
+      extends java.util.LinkedHashMap[K, V](cap * 2, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean = size > cap
+  }
+  private val boundaryTL =
+    ThreadLocal.withInitial[Lru[Long, Array[(Double, Double)]]](() => new Lru(128))
+  private val splitTL =
+    ThreadLocal.withInitial[Lru[Long, org.locationtech.jts.geom.Geometry]](() => new Lru(128))
+
+  /** [[cellBoundary]] through the per-thread memo (hot flood paths). */
+  def cellBoundaryCached(cell: Long): Array[(Double, Double)] = {
+    val m = boundaryTL.get()
+    var b = m.get(cell)
+    if (b == null) { b = cellBoundary(cell); m.put(cell, b) }
+    b
+  }
+
+  /** [[cellGeometrySplit]] through the per-thread memo (hot flood paths). */
+  def cellGeometrySplitCached(cell: Long): org.locationtech.jts.geom.Geometry = {
+    val m = splitTL.get()
+    var g = m.get(cell)
+    if (g == null) { g = cellGeometrySplitOf(cellBoundaryCached(cell)); m.put(cell, g) }
+    g
+  }
+
+  /** [[cellGeometrySplit]] from a boundary already in hand — the flood's
+    * hot path computes the boundary once for the envelope pre-filter and
+    * reuses it here. */
+  def cellGeometrySplitOf(b: Array[(Double, Double)]): org.locationtech.jts.geom.Geometry = {
     val n = b.length
     val lons = new Array[Double](n)
     lons(0) = b(0)._2

@@ -207,6 +207,51 @@ class H3GeoSpec extends AnyFunSuite {
     assert(expanded == pc)
   }
 
+  test("top-down covering: covers the polyfill, multi-res, nesting-free (ref h3.rs:291-418 dead code)") {
+    // several deterministic boxes of different extents (multi-res kicks in
+    // when a box spans many cells at maxRes)
+    val boxes = Seq(
+      (-118.3, 34.0, -117.6, 34.6),  // LA-ish, wide → interior parents
+      (9.9, 49.9, 10.15, 50.12),     // central Europe, medium
+      (-0.2, -0.15, 0.25, 0.2))      // equator/prime-meridian crossing
+    for ((x0, y0, x1, y1) <- boxes) {
+      val poly = graft.geom.Geo.boxPolyBL(x0, y0, x1, y1)
+      val maxRes = 6
+      val td = H3Cover.topDownCovering(poly, minRes = 3, maxRes = maxRes)
+      assert(td.nonEmpty)
+      val pf = H3Cover.polygonCells(poly, maxRes)
+      // 1) every emitted maxRes cell is in the polyfill
+      td.filter(H3.resolution(_) == maxRes).foreach(c =>
+        assert(pf.contains(c), s"non-polyfill leaf ${hex(c)}"))
+      // 2) expanding to maxRes covers the ENTIRE polyfill set
+      val expanded = td.flatMap(c =>
+        if (H3.resolution(c) == maxRes) Seq(c) else H3.cellToChildren(c, maxRes))
+      pf.foreach(c => assert(expanded.contains(c), s"polyfill cell ${hex(c)} uncovered"))
+      // 3) emitted parents really had every child center inside (the rule)
+      td.filter(H3.resolution(_) < maxRes).foreach { parent =>
+        H3.cellToChildren(parent, H3.resolution(parent) + 1).foreach { ch =>
+          val (la, ln) = H3Geo.cellToLatLng(ch)
+          assert(poly.contains(gf.createPoint(new Coordinate(ln, la))),
+            s"child ${hex(ch)} of emitted ${hex(parent)} has center outside")
+        }
+      }
+      // 4) nesting-free: no emitted cell is an ancestor of another
+      td.foreach { c =>
+        val r = H3.resolution(c)
+        (0 until r).foreach(pr =>
+          assert(!td.contains(H3.cellToParent(c, pr)),
+            s"${hex(c)} nested under an emitted ancestor"))
+      }
+    }
+    // the wide box genuinely exercises multi-resolution output
+    val wide = graft.geom.Geo.boxPolyBL(-118.3, 34.0, -117.6, 34.6)
+    val tdWide = H3Cover.topDownCovering(wide, minRes = 3, maxRes = 6)
+    assert(tdWide.map(H3.resolution).size >= 1 &&
+      tdWide.groupBy(H3.resolution).size >= 2, "expected cells at >= 2 resolutions")
+    // bad resolution order rejects like the reference
+    assertThrows[graft.core.GeoqException](H3Cover.topDownCovering(wide, 7, 6))
+  }
+
   test("whole earth, exhaustively at res 1 and 2: unique centers, round-trips, 12 pentagons") {
     for (res <- Seq(1, 2)) {
       val cells = (0 until 122).flatMap(bc => H3.cellToChildren(H3Geo.res0Cell(bc), res))
