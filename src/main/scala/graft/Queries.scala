@@ -412,6 +412,70 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** Embedding-cosine near-dup detection at scale: random-hyperplane LSH
+    * (16 sign bits from deterministic ±1 hyperplanes, 2 bands × 8 bits) →
+    * banded equi-join candidates → exact cosine refine (≥ 0.999). The
+    * input is the embeddings table plus ×2.0-scaled copies of every 7th
+    * vector (the "re-encoded content" near-dups): doubling is EXACT in
+    * IEEE floats, so a scaled copy provably carries the identical sign
+    * signature as its source and LSH recall on the planted pairs is exactly
+    * 100% — which the oracle CHECKS, because it brute-forces all O(n²)
+    * cosines and any pair the banded join missed hash-fails. Cosine parity:
+    * left-fold dot ≡ list_dot_product (q22-proven), IEEE sqrt and the
+    * division chain are identical on both engines.
+    * Scale shape: signatures are per-row; candidates come from a banded
+    * equi-join (never all-pairs); vectors re-join by id for the refine. */
+  def q50EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val scaled = emb.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 1000).as("vec_id"),
+        transform(col("v"), x => x * lit(2.0)).as("v"))
+    val all = emb.unionByName(scaled)
+    val sig = udf((v: Seq[Double]) => {
+      var out = 0L
+      var j = 0
+      while (j < 16) {
+        var s = 0.0
+        var d = 0
+        while (d < v.length) {
+          val sgn =
+            if ((2654435761L * (j * 64 + d + 1)) % 4294967296L < 2147483648L) 1.0 else -1.0
+          s += v(d) * sgn
+          d += 1
+        }
+        if (s >= 0.0) out |= (1L << j)
+        j += 1
+      }
+      out
+    })
+    val sigs = all.select(col("vec_id"), sig(col("v")).as("sig"))
+    val bands = Seq(0, 1).map { b =>
+      sigs.select(col("vec_id"), lit(b).as("band"),
+        shiftright(col("sig"), b * 8).bitwiseAND(lit(255L)).as("bkey"))
+    }.reduce(_ unionByName _)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    val cos = udf((a: Seq[Double], b: Seq[Double]) => {
+      def dot(x: Seq[Double], y: Seq[Double]): Double = {
+        var s = 0.0
+        var i = 0
+        while (i < x.length) { s += x(i) * y(i); i += 1 }
+        s
+      }
+      (dot(a, b) / math.sqrt(dot(a, a))) / math.sqrt(dot(b, b))
+    })
+    cand
+      .join(all.select(col("vec_id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(all.select(col("vec_id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .filter(cos(col("va"), col("vb")) >= 0.999)
+      .select("id_a", "id_b")
+      .orderBy("id_a", "id_b")
+  }
+
   // ---------------- scale-path spatial join / kNN ----------------
 
   /** Deterministic query boxes derived from nation keys (exact integer →

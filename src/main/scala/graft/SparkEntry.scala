@@ -69,6 +69,7 @@ object SparkEntry {
     "q47_box_join" -> (Queries.q47BoxJoin _),
     "q48_dwithin_small" -> (Queries.q48DwithinSmall _),
     "q49_simplify_vw" -> (Queries.q49SimplifyVw _),
+    "q50_embed_neardup" -> (Queries.q50EmbedNearDup _),
   )
 
   // ---------------- oracle SQL ----------------
@@ -575,6 +576,22 @@ object SparkEntry {
          |SELECT id, qid FROM vfin
          |WHERE (lon = qlon AND lat = qlat) OR meters < ${Queries.CL_RADIUS}
          |ORDER BY qid, id""".stripMargin,
+
+    // embedding near-dup ground truth: brute-force ALL O(n^2) cosines —
+    // a banded-LSH recall miss (a true pair the candidate join dropped)
+    // hash-fails, not just precision errors. The x2.0 scaling is IEEE-exact
+    // so the planted near-dups provably share sign signatures.
+    "q50_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |all_v AS (
+        |  SELECT vec_id, v FROM e
+        |  UNION ALL
+        |  SELECT vec_id + 1000, list_transform(v, x -> x * 2.0) FROM e WHERE vec_id % 7 = 0),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |        (list_dot_product(a.v, b.v) / sqrt(list_dot_product(a.v, a.v)))
+        |          / sqrt(list_dot_product(b.v, b.v)) AS cos
+        |      FROM all_v a JOIN all_v b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b FROM p WHERE cos >= 0.999 ORDER BY id_a, id_b""".stripMargin,
 
     // VW-simplify ground truth: the closed-form construction (see
     // Queries.q49SimplifyVw) makes survivors = anchors + teeth with d >= 5;
