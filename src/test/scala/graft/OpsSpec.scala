@@ -102,4 +102,28 @@ class OpsSpec extends AnyFunSuite {
     val g = Geo.parseWkt("LINESTRING(0 0,1 1,2 0)")
     assert(Simplify.simplifyToCount(g, 0.1, 5) eq g)
   }
+
+  test("q49 closed-form construction: VW survivors == prediction for 500 hashes") {
+    // local mirror of the q49 oracle (see Queries.q49SimplifyVw): anchors on
+    // y=100x² survive always, teeth survive iff d >= 5; every elimination
+    // count 0..8 must occur across the sample (non-vacuous)
+    val seen = scala.collection.mutable.Set[Int]()
+    (1L to 500L).foreach { id =>
+      val h = (id * 2654435761L) % 4294967296L
+      def d(t: Int): Long = 1L + ((h >> (3 * t)) % 8L)
+      val coords = (0 to 16).map { i =>
+        val y =
+          if (i % 2 == 0) 100L * i * i
+          else 100L * (i * i + 1) + d((i - 1) / 2)
+        new org.locationtech.jts.geom.Coordinate(i.toDouble, y.toDouble)
+      }.toArray
+      val simp = Simplify.simplify(Geo.factory.createLineString(coords), 4.5)
+      val expected = coords.zipWithIndex.collect {
+        case (c, i) if i % 2 == 0 || d((i - 1) / 2) >= 5L => c
+      }
+      assert(simp.getCoordinates.toSeq == expected.toSeq, s"id=$id")
+      seen += 17 - simp.getNumPoints
+    }
+    assert(seen == (0 to 8).toSet, s"elimination counts seen: $seen")
+  }
 }

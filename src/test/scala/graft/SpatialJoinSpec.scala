@@ -295,6 +295,37 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(got.size > qs.count(), "no non-self matches — weak fixture")
   }
 
+  test("q50 embed near-dup: banded LSH == brute-force cosine; no cartesian product in the plan") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val got = Queries.q50EmbedNearDup(spark, dir)
+    // plan: candidates come from an equi-join on (band, bkey), never a
+    // cartesian/nested-loop pass over all vector pairs
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("NestedLoopJoin"), plan)
+    val gotPairs = got.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // brute force in-Spark (same vector set, same cosine kernel)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val all = emb.unionByName(emb.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 1000).as("vec_id"),
+        transform(col("v"), x => x * lit(2.0)).as("v")))
+    val rows = all.as[(Long, Seq[Double])].collect()
+    def dot(a: Seq[Double], b: Seq[Double]) = a.lazyZip(b).map(_ * _).sum
+    val brute = (for {
+      (ia, va) <- rows; (ib, vb) <- rows if ia < ib
+      cos = (dot(va, vb) / math.sqrt(dot(va, va))) / math.sqrt(dot(vb, vb))
+      if cos >= 0.999
+    } yield (ia, ib)).sorted.toSeq
+    assert(gotPairs == brute)
+    // exactly the planted scaled-copy pairs (and proves recall = 100%)
+    val planted = rows.map(_._1).filter(id => id < 1000 && id % 7 == 0)
+      .map(id => (id, id + 1000)).sorted.toSeq
+    assert(gotPairs == planted)
+    assert(gotPairs.size == 72)
+  }
+
   test("q43 rewrites in a CHILD session without leaking the rule to the parent") {
     val before = spark.experimental.extraOptimizations
     val df = Queries.q43NaturalJoin(spark, "/root/testdata/sf0.001")
