@@ -582,11 +582,11 @@ object SparkEntry {
     // hash-fails, not just precision errors. The x2.0 scaling is IEEE-exact
     // so the planted near-dups provably share sign signatures.
     "q50_embed_neardup" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |all_v AS (
         |  SELECT vec_id, v FROM e
         |  UNION ALL
-        |  SELECT vec_id + 1000, list_transform(v, x -> x * 2.0) FROM e WHERE vec_id % 7 = 0),
+        |  SELECT vec_id + ${Queries.EMB_OFFSET}, list_transform(v, x -> x * 2.0) FROM e WHERE vec_id % 7 = 0),
         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |        (list_dot_product(a.v, b.v) / sqrt(list_dot_product(a.v, a.v)))
         |          / sqrt(list_dot_product(b.v, b.v)) AS cos

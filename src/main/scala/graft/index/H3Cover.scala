@@ -116,9 +116,8 @@ object H3Cover {
         s"geoq h3 polyfill requires Polygon or MultiPolygon geometries -- got ${other.getGeometryType}")
   }
 
-  /** All 122 res-0 base cells (mode 1, res 0, all digits set to 7). */
-  def res0Cells: Seq[Long] =
-    (0 until 122).map(bc => (1L << 59) | (bc.toLong << 45) | ((1L << 45) - 1))
+  /** All 122 res-0 base cells. */
+  def res0Cells: Seq[Long] = (0 until 122).map(H3Geo.res0Cell)
 
   /** The reference's TOP-DOWN multi-resolution covering — written but never
     * wired to its CLI (`commands/h3.rs:291-418` is dead code; implemented
@@ -146,6 +145,11 @@ object H3Cover {
     if (minRes > maxRes || minRes < 0 || maxRes > 15)
       throw GeoqException(
         s"Min resolution must be less than or equal to max resolution. Got min: $minRes, max: $maxRes")
+    g match { // same contract as polygonCells (centroid tests are 2-D)
+      case _: Polygon | _: MultiPolygon =>
+      case other => throw GeoqException(
+        s"geoq h3 polyfill requires Polygon or MultiPolygon geometries -- got ${other.getGeometryType}")
+    }
     if (g.isEmpty) return Set.empty
     val prep = PreparedGeometryFactory.prepare(g)
     val cen = g.getCentroid
@@ -161,10 +165,15 @@ object H3Cover {
     while (queue.nonEmpty) {
       val grp = queue.dequeue()
       val rels = grp.cells.map { cell =>
-        val (la, ln) = H3Geo.cellToLatLng(cell)
-        (cell,
-          prep.intersects(H3Geo.cellGeometrySplitCached(cell)),
-          prep.contains(H3Geo.gf.createPoint(new Coordinate(ln, la))))
+        val inter = prep.intersects(H3Geo.cellGeometrySplitCached(cell))
+        // a center inside g implies the cell intersects g, so gating the
+        // point test on `inter` is semantically identical and skips the
+        // guaranteed-false test on the frontier cells
+        val cenIn = inter && {
+          val (la, ln) = H3Geo.cellToLatLng(cell)
+          prep.contains(H3Geo.gf.createPoint(new Coordinate(ln, la)))
+        }
+        (cell, inter, cenIn)
       }
       if (grp.res > minRes && rels.forall(_._3) && grp.parent.isDefined)
         out += grp.parent.get // whole sibling set interior → keep the parent

@@ -143,11 +143,16 @@ object SpatialJoin {
     * axis at the equator (more only with the honest 1/cos φ lon widening
     * near the poles), while each candidate cell holds only points within
     * O(radius) — candidate count scales with the cap area, not with a
-    * fixed 620 km cell. Clamped to [1, 20]. */
+    * fixed 620 km cell. Clamped to [1, 12]: a near-pole cap covers the
+    * FULL longitude range (dLon = 360 in the box derivation), i.e. one
+    * query row explodes to 2^bits lon cells regardless of radius — 4096 at
+    * 12 is a bounded worst case, 2^20 would be a one-row OOM (same
+    * rationale as the SpatialJoinRewrite bits-conf cap). Sub-100 m radii
+    * hit the clamp with ~10 km cells — still radius-dominated candidates. */
   def bitsForRadius(meters: Double): Int = {
     val rDeg = math.toDegrees(meters / 6300000.0) * 1.02
     val b = math.floor(math.log(180.0 / rDeg) / math.log(2.0)).toInt
-    math.max(1, math.min(20, b))
+    math.max(1, math.min(12, b))
   }
 
   private def resolveBits(bits: Int, meters: Double): Int =

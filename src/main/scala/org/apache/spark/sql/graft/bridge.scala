@@ -16,16 +16,16 @@ object bridge {
   /** Register a catalyst-native SQL function on a LIVE session (the
     * FunctionRegistry is `private[sql]`; new sessions should prefer
     * `spark.sql.extensions=graft.plans.GraftExtensions`). */
-  /** Globally-unique id of a session (`sessionUUID` is `private[sql]`) —
-    * cache keys that must never collide across sessions use this instead
-    * of identity hash codes (which can recur after GC). */
-  def sessionUUID(spark: org.apache.spark.sql.SparkSession): String =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
-
   def registerFunction(spark: org.apache.spark.sql.SparkSession,
                        id: org.apache.spark.sql.catalyst.FunctionIdentifier,
                        info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
                        builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry.registerFunction(id, info, builder)
+
+  /** Globally-unique id of a session (`sessionUUID` is `private[sql]`) —
+    * cache keys that must never collide across sessions use this instead
+    * of identity hash codes (which can recur after GC). */
+  def sessionUUID(spark: org.apache.spark.sql.SparkSession): String =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
 }

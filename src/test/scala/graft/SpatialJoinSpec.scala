@@ -275,7 +275,7 @@ class SpatialJoinSpec extends AnyFunSuite {
     val autoBits = SpatialJoin.bitsForRadius(R)
     assert(autoBits >= 10, s"expected a fine grid at 5 km, got bits=$autoBits")
     assert(SpatialJoin.bitsForRadius(750000.0) <= 6) // coarse at 750 km
-    assert(SpatialJoin.bitsForRadius(0.001) == 20)   // clamp hi
+    assert(SpatialJoin.bitsForRadius(0.001) == 12)   // clamp hi (polar full-lon explode stays bounded at 2^12)
     assert(SpatialJoin.bitsForRadius(4.0e7) == 1)    // clamp lo
     // candidate rows actually priced by the join: >=50x fewer on the fine
     // grid (fixed 620 km cells put the whole cluster in 1-2 cells)
@@ -309,7 +309,7 @@ class SpatialJoinSpec extends AnyFunSuite {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val all = emb.unionByName(emb.filter(col("vec_id") % 7 === 0)
-      .select((col("vec_id") + 1000).as("vec_id"),
+      .select((col("vec_id") + Queries.EMB_OFFSET).as("vec_id"),
         transform(col("v"), x => x * lit(2.0)).as("v")))
     val rows = all.as[(Long, Seq[Double])].collect()
     def dot(a: Seq[Double], b: Seq[Double]) = a.lazyZip(b).map(_ * _).sum
@@ -320,8 +320,8 @@ class SpatialJoinSpec extends AnyFunSuite {
     } yield (ia, ib)).sorted.toSeq
     assert(gotPairs == brute)
     // exactly the planted scaled-copy pairs (and proves recall = 100%)
-    val planted = rows.map(_._1).filter(id => id < 1000 && id % 7 == 0)
-      .map(id => (id, id + 1000)).sorted.toSeq
+    val planted = rows.map(_._1).filter(id => id < Queries.EMB_OFFSET && id % 7 == 0)
+      .map(id => (id, id + Queries.EMB_OFFSET)).sorted.toSeq
     assert(gotPairs == planted)
     assert(gotPairs.size == 72)
   }
