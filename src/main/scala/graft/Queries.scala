@@ -432,7 +432,7 @@ object Queries {
 
   /** 16 random-hyperplane sign bits; hyperplane entries are deterministic
     * ±1 from integer hash parity (SQL-mirrorable). */
-  private val embSigUdf = udf((v: Seq[Double]) => {
+  private[graft] val embSigUdf = udf((v: Seq[Double]) => {
     var out = 0L
     var j = 0
     while (j < 16) {
@@ -533,6 +533,21 @@ object Queries {
       col("lon") >= col("minx") && col("lon") <= col("maxx") &&
         col("lat") >= col("miny") && col("lat") <= col("maxy"))
     joined.groupBy("rid").agg(count(lit(1)).as("n_points")).orderBy("rid")
+  }
+
+  /** The q43 natural join NEGATED — a LEFT ANTI with the same four range
+    * predicates, through the [[graft.plans.SpatialJoinRewrite]] optimizer
+    * rule (the reference's `--negate` filter semantics at scale,
+    * `commands/filter.rs:110-119`). The rule must rewrite the anti join to
+    * the cell-keyed form without duplicating or dropping rows; the oracle
+    * is the plain NOT EXISTS. Same child-session isolation as q43. */
+  def q51NaturalAnti(spark: SparkSession, dir: String): DataFrame = {
+    val s2 = spark.newSession()
+    graft.plans.SpatialPlanner.enable(s2)
+    pts(s2, dir).join(nationBoxes(s2, dir),
+      col("lon") >= col("minx") && col("lon") <= col("maxx") &&
+        col("lat") >= col("miny") && col("lat") <= col("maxy"), "left_anti")
+      .select("id").orderBy("id")
   }
 
   val DJ_RADIUS = 750000.0

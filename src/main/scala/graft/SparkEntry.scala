@@ -70,6 +70,7 @@ object SparkEntry {
     "q48_dwithin_small" -> (Queries.q48DwithinSmall _),
     "q49_simplify_vw" -> (Queries.q49SimplifyVw _),
     "q50_embed_neardup" -> (Queries.q50EmbedNearDup _),
+    "q51_natural_anti" -> (Queries.q51NaturalAnti _),
   )
 
   // ---------------- oracle SQL ----------------
@@ -576,6 +577,21 @@ object SparkEntry {
          |SELECT id, qid FROM vfin
          |WHERE (lon = qlon AND lat = qlat) OR meters < ${Queries.CL_RADIUS}
          |ORDER BY qid, id""".stripMargin,
+
+    // the LEFT ANTI twin of q43 (negated filter at scale, through the
+    // Catalyst rewrite): ground truth is the plain NOT EXISTS
+    "q51_natural_anti" ->
+      s"""WITH $P,
+         |boxes AS (SELECT CAST(n_nationkey AS BIGINT) AS rid,
+         |    -180.0 + (n_nationkey * 67 % 300) AS minx,
+         |    -90.0 + (n_nationkey * 37 % 150) AS miny,
+         |    -180.0 + (n_nationkey * 67 % 300) + (n_nationkey % 13 + 10) AS maxx,
+         |    -90.0 + (n_nationkey * 37 % 150) + (n_nationkey % 11 + 5) AS maxy
+         |  FROM nation)
+         |SELECT id FROM pts
+         |WHERE NOT EXISTS (SELECT 1 FROM boxes
+         |  WHERE lon >= minx AND lon <= maxx AND lat >= miny AND lat <= maxy)
+         |ORDER BY id""".stripMargin,
 
     // embedding near-dup ground truth: brute-force ALL O(n^2) cosines —
     // a banded-LSH recall miss (a true pair the candidate join dropped)

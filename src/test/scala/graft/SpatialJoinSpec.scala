@@ -337,6 +337,23 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(!spark.experimental.extraOptimizations.contains(graft.plans.SpatialJoinRewrite))
   }
 
+  test("q51 natural anti rewrites too and complements the semi ids") {
+    val anti = Queries.q51NaturalAnti(spark, "/root/testdata/sf0.001")
+    val planA = anti.queryExecution.executedPlan.toString
+    assert(planA.contains("__graft_gx"), planA)
+    assert(!planA.contains("NestedLoopJoin"), planA)
+    val antiIds = anti.collect().map(_.getLong(0)).toSet
+    // complement of the q26 inner-join's matched point set over all points
+    val all = Queries.pts(spark, "/root/testdata/sf0.001")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val matched = graft.join.SpatialJoin.joinPointsInBoxes(
+        Queries.pts(spark, "/root/testdata/sf0.001"),
+        Queries.nationBoxes(spark, "/root/testdata/sf0.001"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(antiIds == all.diff(matched))
+    assert(antiIds.nonEmpty && matched.nonEmpty)
+  }
+
   test("SQL surface: h3_cell function + BETWEEN joins hit the same machinery") {
     import spark.implicits._
     graft.plans.SpatialPlanner.registerSql(spark)

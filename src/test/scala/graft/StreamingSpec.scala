@@ -178,4 +178,65 @@ class StreamingSpec extends AnyFunSuite {
       .orderBy("cell").collect().map(_.toSeq).toSeq
     assert(streamed == batch && batch.nonEmpty)
   }
+
+  test("streaming embedding near-dup vs a static corpus matches the planted pairs") {
+    // the incremental-ingest dedup shape at 100 TB: new vectors ARRIVE as a
+    // stream and are checked against the existing corpus via the SAME
+    // banded random-hyperplane LSH as q50 — a stream-static equi-join on
+    // (band, bkey), never all-pairs, then the exact cosine refine
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    def banded(df: org.apache.spark.sql.DataFrame) = {
+      val sigs = df.withColumn("sig", Queries.embSigUdf(col("v")))
+      Seq(0, 1).map { b =>
+        sigs.select(col("vec_id"), col("v"), lit(b).as("band"),
+          shiftright(col("sig"), b * 8).bitwiseAND(lit(255L)).as("bkey"))
+      }.reduce(_ unionByName _)
+    }
+    val corpus = banded(emb)
+      .select(col("vec_id").as("corpus_id"), col("v").as("cv"), col("band"), col("bkey"))
+
+    // arrivals: the x2.0-scaled copies (IEEE-exact, so signatures match
+    // their sources), split over two micro-batch files
+    val scaled = emb.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + Queries.EMB_OFFSET).as("vec_id"),
+        transform(col("v"), x => x * lit(2.0)).as("v"))
+    val streamDir = java.nio.file.Files.createTempDirectory("embed_stream")
+    scaled.filter(col("vec_id") % 2 === 0).write.mode("overwrite")
+      .parquet(streamDir.resolve("b0").toString)
+    scaled.filter(col("vec_id") % 2 === 1).write.mode("overwrite")
+      .parquet(streamDir.resolve("b1").toString)
+    val arrivals = spark.readStream.schema(scaled.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(streamDir.toString)
+
+    val cos = udf((a: Seq[Double], b: Seq[Double]) => {
+      def dot(x: Seq[Double], y: Seq[Double]): Double = {
+        var s = 0.0
+        var i = 0
+        while (i < x.length) { s += x(i) * y(i); i += 1 }
+        s
+      }
+      (dot(a, b) / math.sqrt(dot(a, a))) / math.sqrt(dot(b, b))
+    })
+    val joined = banded(arrivals)
+      .join(corpus, Seq("band", "bkey"))
+      .filter(cos(col("v"), col("cv")) >= 0.999)
+      .select(col("vec_id").as("new_id"), col("corpus_id"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("embed_neardup").start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    // a pair colliding in both bands is emitted twice (append mode) —
+    // distinct at the consumer, like any idempotent sink key
+    val streamed = spark.table("embed_neardup")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct.sorted.toSeq
+    val planted = emb.select("vec_id").collect().map(_.getLong(0))
+      .filter(_ % 7 == 0).map(id => (id + Queries.EMB_OFFSET, id)).sorted.toSeq
+    assert(streamed == planted)
+    assert(streamed.size == 72)
+  }
 }
