@@ -747,6 +747,41 @@ object Queries {
       .orderBy("rid")
   }
 
+  // ---------------- video frame-sampling (multimodal) ----------------
+
+  import graft.img.{VideoRow, Videos}
+
+  val VID_N = 500L
+  val VID_STRIDE = 3
+
+  def videoTable(spark: SparkSession, n: Long): org.apache.spark.sql.Dataset[VideoRow] = {
+    import spark.implicits._
+    spark.range(n).repartition(spark.sparkContext.defaultParallelism)
+      .map(r => Videos.generate(r))
+  }
+
+  /** Frame-sample over the synthetic video table under the driver HASH
+    * gate: every 3rd frame of each container is parsed out and DECODED
+    * through the real ImageIO path; since the frames are PNG (lossless),
+    * each decoded frame must be BIT-IDENTICAL to its deterministic
+    * re-render — `frames_ok` is constant-true iff the container parse,
+    * the sampling arithmetic, and the decode are all correct. `n_frames`
+    * comes from the same multiplicative-hash expression the oracle
+    * evaluates, and `n_sampled` must equal ceil(n_frames / 3). */
+  def q52VideoSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    videoTable(spark, VID_N).map { v =>
+      val idx = v.video_id.stripPrefix("vid").toLong
+      val sampled = Videos.sampleFrames(v.bytes, VID_STRIDE)
+      val ok = sampled.forall { case (f, img) =>
+        img.getWidth == v.w && img.getHeight == v.h &&
+          Images.psnr(img, Images.renderPixels(Videos.frameSeed(idx, f), v.w, v.h)).isInfinite
+      }
+      (v.video_id, v.n_frames.toLong, sampled.size.toLong, ok)
+    }.toDF("video_id", "n_frames", "n_sampled", "frames_ok")
+      .orderBy("video_id")
+  }
+
   // ---------------- entity pipeline / munge / simplify ----------------
 
   /** json munge through the full heuristic path; integer coords keep the

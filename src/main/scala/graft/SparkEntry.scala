@@ -71,6 +71,7 @@ object SparkEntry {
     "q49_simplify_vw" -> (Queries.q49SimplifyVw _),
     "q50_embed_neardup" -> (Queries.q50EmbedNearDup _),
     "q51_natural_anti" -> (Queries.q51NaturalAnti _),
+    "q52_video_sample" -> (Queries.q52VideoSample _),
   )
 
   // ---------------- oracle SQL ----------------
@@ -577,6 +578,17 @@ object SparkEntry {
          |SELECT id, qid FROM vfin
          |WHERE (lon = qlon AND lat = qlat) OR meters < ${Queries.CL_RADIUS}
          |ORDER BY qid, id""".stripMargin,
+
+    // video frame-sample invariants: n_frames from the shared integer hash,
+    // n_sampled = ceil(n_frames/3), frames_ok constant-true iff container
+    // parse + sampling + lossless PNG decode are all correct
+    "q52_video_sample" ->
+      s"""WITH v AS (SELECT i, 4 + ((i * 2654435761) % 4294967296) % 8 AS n FROM range(${Queries.VID_N}) t(i))
+         |SELECT 'vid' || lpad(CAST(i AS VARCHAR), 9, '0') AS video_id,
+         |  CAST(n AS BIGINT) AS n_frames,
+         |  CAST((n + ${Queries.VID_STRIDE - 1}) // ${Queries.VID_STRIDE} AS BIGINT) AS n_sampled,
+         |  true AS frames_ok
+         |FROM v ORDER BY 1""".stripMargin,
 
     // the LEFT ANTI twin of q43 (negated filter at scale, through the
     // Catalyst rewrite): ground truth is the plain NOT EXISTS

@@ -62,4 +62,30 @@ class ImagesSpec extends AnyFunSuite {
     }
     assert(close >= 28, s"phash unstable: only $close/32 within hamming distance 4")
   }
+
+  test("video container: deterministic, parses back, frame-sample decodes bit-exact") {
+    import graft.img.Videos
+    (0L until 20L).foreach { idx =>
+      val v1 = Videos.generate(idx)
+      val v2 = Videos.generate(idx)
+      assert(java.util.Arrays.equals(v1.bytes, v2.bytes))
+      assert(v1.n_frames == Videos.frameCount(idx) && v1.n_frames >= 4 && v1.n_frames <= 11)
+      val fs = Videos.frames(v1.bytes)
+      assert(fs.length == v1.n_frames)
+      // stride-k sampling: count arithmetic + indexes + lossless decode
+      Seq(1, 2, 3, 5).foreach { k =>
+        val sampled = Videos.sampleFrames(v1.bytes, k)
+        assert(sampled.size == (v1.n_frames + k - 1) / k, s"idx=$idx k=$k")
+        assert(sampled.map(_._1) == (0 until v1.n_frames by k))
+        sampled.foreach { case (f, img) =>
+          assert(img.getWidth == v1.w && img.getHeight == v1.h)
+          assert(graft.img.Images.psnr(img,
+            graft.img.Images.renderPixels(Videos.frameSeed(idx, f), v1.w, v1.h)).isInfinite,
+            s"frame $f of video $idx not bit-exact")
+        }
+      }
+    }
+    // bad container rejected like every other malformed input
+    assertThrows[graft.core.GeoqException](Videos.frames(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)))
+  }
 }
