@@ -782,6 +782,35 @@ object Queries {
       .orderBy("video_id")
   }
 
+  // ---------------- audio features (multimodal) ----------------
+
+  import graft.img.{Audio, AudioRow}
+
+  val AUD_N = 500L
+
+  def audioTable(spark: SparkSession, n: Long): org.apache.spark.sql.Dataset[AudioRow] = {
+    import spark.implicits._
+    spark.range(n).repartition(spark.sparkContext.defaultParallelism)
+      .map(r => Audio.generate(r))
+  }
+
+  /** Audio feature extraction under the driver HASH gate: each row's REAL
+    * WAV bytes (RIFF/PCM16 mono, written byte-level) are parsed back and
+    * the features (sample count, Σ|amplitude|, strict zero crossings) are
+    * computed from the DECODED samples. Sample values are pure integer
+    * hash derivations, so the oracle recomputes every feature exactly —
+    * one mangled byte in the encode or parse diverges the sums. */
+  def q53AudioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    audioTable(spark, AUD_N).map { a =>
+      val (rate, samples) = Audio.decodeWav(a.bytes)
+      val (n, sumAbs, zc) = Audio.features(samples)
+      val ok = rate == a.sample_rate && n == a.n_samples
+      (a.audio_id, n, sumAbs, zc, ok)
+    }.toDF("audio_id", "n_samples", "sum_abs", "n_zero_cross", "wav_ok")
+      .orderBy("audio_id")
+  }
+
   // ---------------- entity pipeline / munge / simplify ----------------
 
   /** json munge through the full heuristic path; integer coords keep the

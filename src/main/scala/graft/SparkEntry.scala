@@ -72,6 +72,7 @@ object SparkEntry {
     "q50_embed_neardup" -> (Queries.q50EmbedNearDup _),
     "q51_natural_anti" -> (Queries.q51NaturalAnti _),
     "q52_video_sample" -> (Queries.q52VideoSample _),
+    "q53_audio_features" -> (Queries.q53AudioFeatures _),
   )
 
   // ---------------- oracle SQL ----------------
@@ -589,6 +590,25 @@ object SparkEntry {
          |  CAST((n + ${Queries.VID_STRIDE - 1}) // ${Queries.VID_STRIDE} AS BIGINT) AS n_sampled,
          |  true AS frames_ok
          |FROM v ORDER BY 1""".stripMargin,
+
+    // audio features ground truth: sample values are pure integer hash
+    // derivations, so sample count / sum|s| / strict zero crossings over
+    // the engine's PARSED WAV bytes are exactly recomputable here
+    "q53_audio_features" ->
+      s"""WITH a AS (SELECT i AS idx,
+         |    512 + ((i * 2654435761) % 4294967296) % 1024 AS n
+         |  FROM range(${Queries.AUD_N}) t(i)),
+         |s AS (SELECT idx, n, unnest(range(0, n)) AS i FROM a),
+         |v AS (SELECT idx, n, i,
+         |    ((idx * 2654435761 + i * 40503) % 65536) - 32768 AS s FROM s),
+         |w AS (SELECT idx, n, i, s,
+         |    lag(s) OVER (PARTITION BY idx ORDER BY i) AS ps FROM v)
+         |SELECT 'aud' || lpad(CAST(idx AS VARCHAR), 9, '0') AS audio_id,
+         |  CAST(max(n) AS BIGINT) AS n_samples,
+         |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+         |  CAST(sum(CASE WHEN ps IS NOT NULL AND s * ps < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_cross,
+         |  true AS wav_ok
+         |FROM w GROUP BY idx ORDER BY 1""".stripMargin,
 
     // the LEFT ANTI twin of q43 (negated filter at scale, through the
     // Catalyst rewrite): ground truth is the plain NOT EXISTS

@@ -88,4 +88,22 @@ class ImagesSpec extends AnyFunSuite {
     // bad container rejected like every other malformed input
     assertThrows[graft.core.GeoqException](Videos.frames(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)))
   }
+
+  test("audio WAV container: canonical header, lossless round-trip, exact features") {
+    import graft.img.Audio
+    (0L until 20L).foreach { idx =>
+      val a = Audio.generate(idx)
+      // canonical 44-byte header + 2 bytes/sample
+      assert(a.bytes.length == 44 + 2 * a.n_samples)
+      assert(new String(a.bytes.slice(0, 4), "US-ASCII") == "RIFF")
+      assert(new String(a.bytes.slice(8, 12), "US-ASCII") == "WAVE")
+      val (rate, samples) = Audio.decodeWav(a.bytes)
+      assert(rate == Audio.RATE && samples.length == a.n_samples)
+      assert(samples.toSeq == (0 until a.n_samples).map(i => Audio.sample(idx, i)))
+      val (n, sumAbs, zc) = Audio.features(samples)
+      assert(n == a.n_samples && sumAbs > 0 && zc >= 0)
+    }
+    assertThrows[graft.core.GeoqException](
+      Audio.decodeWav("notawavfilenotawavfilenotawavfilenotawavfile".getBytes))
+  }
 }
