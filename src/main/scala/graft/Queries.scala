@@ -479,19 +479,19 @@ object Queries {
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .distinct()
-    val cos = udf((a: Seq[Double], b: Seq[Double]) => {
-      def dot(x: Seq[Double], y: Seq[Double]): Double = {
-        var s = 0.0
-        var i = 0
-        while (i < x.length) { s += x(i) * y(i); i += 1 }
-        s
-      }
-      (dot(a, b) / math.sqrt(dot(a, a))) / math.sqrt(dot(b, b))
-    })
+    // refine: NATIVE zip_with/aggregate dot product (whole-stage codegen,
+    // no per-pair Seq boxing — a UDF here cost ~6× on skewed band buckets)
+    // summing in array order, exactly like the oracle's list_dot_product;
+    // per-vector norms are computed ONCE, not per candidate pair
+    def dotCol(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val withNorm = all.withColumn("norm", sqrt(dotCol(col("v"), col("v"))))
     cand
-      .join(all.select(col("vec_id").as("id_a"), col("v").as("va")), Seq("id_a"))
-      .join(all.select(col("vec_id").as("id_b"), col("v").as("vb")), Seq("id_b"))
-      .filter(cos(col("va"), col("vb")) >= 0.999)
+      .join(withNorm.select(col("vec_id").as("id_a"), col("v").as("va"),
+        col("norm").as("na")), Seq("id_a"))
+      .join(withNorm.select(col("vec_id").as("id_b"), col("v").as("vb"),
+        col("norm").as("nb")), Seq("id_b"))
+      .filter(dotCol(col("va"), col("vb")) / col("na") / col("nb") >= 0.999)
       .select("id_a", "id_b")
       .orderBy("id_a", "id_b")
   }
