@@ -71,15 +71,19 @@ object Queries {
       .select("id", "gh").orderBy("id")
 
   /** gh children explode over the distinct level-3 tiles (reference
-    * `gh children`). */
+    * `gh children`). Column-native form (explode over the 32 base32
+    * suffixes + concat — whole-stage codegen; the typed flatMap pushed
+    * every output row through Dataset encoders). Pinned to the kernel
+    * `Geohash.children` by KernelSpec's differential test, same pattern
+    * as the ghCol2 encode mirror. */
   def q03GhChildren(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+    val suffixes = "0123456789bcdefghjkmnpqrstuvwxyz".map(c => lit(c.toString))
     pts(spark, dir)
       .withColumn("gh", ghCol2(3)(lonIdxCol(3), latIdxCol(3)))
       .select("gh").distinct()
-      .as[String]
-      .flatMap(gh => Geohash.children(gh).map(c => (gh, c)))
-      .toDF("gh", "child").orderBy("gh", "child")
+      .withColumn("c", explode(array(suffixes: _*)))
+      .select(col("gh"), concat(col("gh"), col("c")).as("child"))
+      .orderBy("gh", "child")
   }
 
   /** gh neighbors via the table-based adjacency (reference `gh neighbors`);
@@ -313,22 +317,39 @@ object Queries {
     * keys instead of an O(n²) similarity scan. 4-row bands keep the
     * candidate set near-dup-only (2-row bands admitted quadratic noise on
     * template-heavy text). */
+  /** Tiny bounded per-session memo for cached DataFrames: keyed by the
+    * genuinely-unique session UUID (identity hash codes can recur after
+    * GC), LRU-evicting beyond `cap` sessions WITH an unpersist of the
+    * evicted plan — a long-lived multi-session driver neither collides
+    * keys nor pins stopped sessions' caches forever. Eviction is
+    * best-effort (a stopped context makes unpersist throw; swallowed). */
+  private[graft] final class SessionCache[V](cap: Int, onEvict: V => Unit) {
+    private val m = new java.util.LinkedHashMap[String, V](cap * 2, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, V]): Boolean =
+        if (size > cap) { try onEvict(e.getValue) catch { case _: Throwable => () }; true }
+        else false
+    }
+    def getOrElseUpdate(k: String, f: => V): V = m.synchronized {
+      val cur = m.get(k)
+      if (cur != null) cur
+      else { val v = f; m.put(k, v); v }
+    }
+  }
+
   // one cached signature table per (session, dir), shared by q19 and q34
   // (a second .cache() on an identical plan leaks a CacheManager entry and
-  // warns; memoizing gives both consumers the same handle). Keyed by the
-  // genuinely-unique session UUID (identity hash codes can recur after GC)
-  // so a rebuilt SparkSession never receives a DataFrame bound to a stopped
-  // SparkContext. Input mutation under a cached dir serves the cached
-  // snapshot — standard Spark cache semantics.
-  private val sigCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  // warns; memoizing gives both consumers the same handle). Input mutation
+  // under a cached dir serves the cached snapshot — standard Spark cache
+  // semantics.
+  private val sigCache = new SessionCache[DataFrame](8, _.unpersist(false))
 
   def q19MinhashPairs(spark: SparkSession, dir: String): DataFrame = {
     // signatures feed the band keys AND both sides of the agreement join —
     // cache so the shingle/minhash UDF chain runs once, not 4×. (At 100 TB
     // signatures are a persisted column, not a recomputed expression.)
-    val sigs = sigCache.computeIfAbsent(
+    val sigs = sigCache.getOrElseUpdate(
       s"${org.apache.spark.sql.graft.bridge.sessionUUID(spark)}|$dir",
-      _ => q18MinhashSig(spark, dir).cache())
+      q18MinhashSig(spark, dir).cache())
     val bands = (0 until 2).map { b =>
       sigs.select(col("doc_id"),
         lit(b).as("band"),
@@ -455,13 +476,12 @@ object Queries {
   // products over 64 dims per row) would otherwise recompute on each of
   // the four band branches and both refine joins, and bench reps would
   // leak duplicate CacheManager entries
-  private val embCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
+  private val embCache = new SessionCache[(DataFrame, DataFrame)](8,
+    { case (a, s) => a.unpersist(false); s.unpersist(false) })
 
   def q50EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val (all, sigs) = embCache.computeIfAbsent(
-      s"${org.apache.spark.sql.graft.bridge.sessionUUID(spark)}|$dir",
-      _ => {
+    val (all, sigs) = embCache.getOrElseUpdate(
+      s"${org.apache.spark.sql.graft.bridge.sessionUUID(spark)}|$dir", {
         val emb = spark.read.parquet(s"$dir/embeddings.parquet")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         val scaled = emb.filter(col("vec_id") % 7 === 0)
@@ -671,12 +691,11 @@ object Queries {
   // full render→encode→decode→phash pipeline and rewrites the parquet,
   // and a rewrite concurrent with an oracle read could expose a partial
   // directory. Content is deterministic, so first-write-wins is safe.
-  private val anchorCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val anchorCache = new SessionCache[DataFrame](8, _ => ())
 
   private def imgAnchors(spark: SparkSession): DataFrame =
-    anchorCache.computeIfAbsent(
-      org.apache.spark.sql.graft.bridge.sessionUUID(spark),
-      _ => {
+    anchorCache.getOrElseUpdate(
+      org.apache.spark.sql.graft.bridge.sessionUUID(spark), {
         import spark.implicits._
         imageTable(spark, IMG_N)
           .map(r => (r.image_id, r.phash, Images.anchorLon(r.phash), Images.anchorLat(r.phash)))

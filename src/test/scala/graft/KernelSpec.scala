@@ -105,6 +105,15 @@ class KernelSpec extends AnyFunSuite {
     assert(kids.last == "9q5z")
   }
 
+  test("gh children kernel == q03's column-native suffix explode") {
+    // q03 builds children as concat(gh, explode(base32 chars)) in codegen;
+    // pin that column mirror to the kernel for arbitrary prefixes
+    val suffixes = "0123456789bcdefghjkmnpqrstuvwxyz".map(_.toString)
+    Seq("9", "9q", "9q5", "sf0hm8w", "zzzz").foreach { gh =>
+      assert(Geohash.children(gh) == suffixes.map(gh + _), gh)
+    }
+  }
+
   test("gh neighbors golden order (9g3m)") {
     assert(Geohash.neighbors("9g3m", includeSelf = true) ==
       Seq("9g3m", "9g3q", "9g3w", "9g3t", "9g3s", "9g3k", "9g3h", "9g3j", "9g3n"))
