@@ -311,23 +311,25 @@ object Queries {
       .orderBy("doc_id")
   }
 
-  /** MinHash LSH near-dup pairs: 2 bands × 4 rows; candidate pairs where any
-    * band collides, with the signature-agreement count (est. Jaccard × 8).
-    * The LSH band join is the scale path: equi-join on (band, hash-tuple)
-    * keys instead of an O(n²) similarity scan. 4-row bands keep the
-    * candidate set near-dup-only (2-row bands admitted quadratic noise on
-    * template-heavy text). */
-  /** Tiny bounded per-session memo for cached DataFrames: keyed by the
-    * genuinely-unique session UUID (identity hash codes can recur after
-    * GC), LRU-evicting beyond `cap` sessions WITH an unpersist of the
-    * evicted plan — a long-lived multi-session driver neither collides
-    * keys nor pins stopped sessions' caches forever. Eviction is
-    * best-effort (a stopped context makes unpersist throw; swallowed). */
+  /** Tiny bounded memo for cached DataFrames, keyed by (session UUID, dir)
+    * strings (the UUID is genuinely unique — identity hash codes can recur
+    * after GC). LRU-evicts beyond `cap` ENTRIES, unpersisting the evicted
+    * plan, so a long-lived multi-session driver neither collides keys nor
+    * pins stopped sessions' caches forever; the cap counts entries, not
+    * sessions, so it sits well above any realistic (session × dir) working
+    * set. Eviction is best-effort (a stopped context makes unpersist
+    * throw; NonFatal swallowed). NOTE: `f` runs under the cache monitor —
+    * builders must be LAZY plan construction (.cache() marks, no actions),
+    * which all current users are; anything that triggers a Spark job
+    * belongs outside this class (see the anchor-table once-flag). */
   private[graft] final class SessionCache[V](cap: Int, onEvict: V => Unit) {
     private val m = new java.util.LinkedHashMap[String, V](cap * 2, 0.75f, true) {
       override def removeEldestEntry(e: java.util.Map.Entry[String, V]): Boolean =
-        if (size > cap) { try onEvict(e.getValue) catch { case _: Throwable => () }; true }
-        else false
+        if (size > cap) {
+          try onEvict(e.getValue)
+          catch { case scala.util.control.NonFatal(_) => () }
+          true
+        } else false
     }
     def getOrElseUpdate(k: String, f: => V): V = m.synchronized {
       val cur = m.get(k)
@@ -341,8 +343,14 @@ object Queries {
   // warns; memoizing gives both consumers the same handle). Input mutation
   // under a cached dir serves the cached snapshot — standard Spark cache
   // semantics.
-  private val sigCache = new SessionCache[DataFrame](8, _.unpersist(false))
+  private val sigCache = new SessionCache[DataFrame](32, _.unpersist(false))
 
+  /** MinHash LSH near-dup pairs: 2 bands × 4 rows; candidate pairs where any
+    * band collides, with the signature-agreement count (est. Jaccard × 8).
+    * The LSH band join is the scale path: equi-join on (band, hash-tuple)
+    * keys instead of an O(n²) similarity scan. 4-row bands keep the
+    * candidate set near-dup-only (2-row bands admitted quadratic noise on
+    * template-heavy text). */
   def q19MinhashPairs(spark: SparkSession, dir: String): DataFrame = {
     // signatures feed the band keys AND both sides of the agreement join —
     // cache so the shingle/minhash UDF chain runs once, not 4×. (At 100 TB
@@ -476,7 +484,7 @@ object Queries {
   // products over 64 dims per row) would otherwise recompute on each of
   // the four band branches and both refine joins, and bench reps would
   // leak duplicate CacheManager entries
-  private val embCache = new SessionCache[(DataFrame, DataFrame)](8,
+  private val embCache = new SessionCache[(DataFrame, DataFrame)](32,
     { case (a, s) => a.unpersist(false); s.unpersist(false) })
 
   def q50EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
@@ -686,23 +694,29 @@ object Queries {
     * diverges the counts and hash-fails. */
   val ANCHORS_PATH = "/root/repo/.oracle_aux/img_anchors"
 
-  // memoize the persisted table per session: q27 and q29 both call this
-  // (and bench reps repeat them) — without the memo each call re-runs the
-  // full render→encode→decode→phash pipeline and rewrites the parquet,
-  // and a rewrite concurrent with an oracle read could expose a partial
-  // directory. Content is deterministic, so first-write-wins is safe.
-  private val anchorCache = new SessionCache[DataFrame](8, _ => ())
+  // write the persisted anchor table ONCE per JVM (q27, q29, and every
+  // bench rep share it): content is deterministic, so a single refresh at
+  // first use both avoids re-running the image pipeline per call and —
+  // unlike an evictable memo — can never rewrite the directory under a
+  // still-cached reader in another session. The double-checked lock blocks
+  // concurrent first callers until the write completes (no partial-dir
+  // window); a failed write resets the flag so the next caller retries.
+  @volatile private var anchorsWritten = false
+  private val anchorLock = new Object
 
-  private def imgAnchors(spark: SparkSession): DataFrame =
-    anchorCache.getOrElseUpdate(
-      org.apache.spark.sql.graft.bridge.sessionUUID(spark), {
+  private def imgAnchors(spark: SparkSession): DataFrame = {
+    if (!anchorsWritten) anchorLock.synchronized {
+      if (!anchorsWritten) {
         import spark.implicits._
         imageTable(spark, IMG_N)
           .map(r => (r.image_id, r.phash, Images.anchorLon(r.phash), Images.anchorLat(r.phash)))
           .toDF("image_id", "phash", "lon", "lat")
           .write.mode("overwrite").parquet(ANCHORS_PATH)
-        spark.read.parquet(ANCHORS_PATH)
-      })
+        anchorsWritten = true
+      }
+    }
+    spark.read.parquet(ANCHORS_PATH)
+  }
 
   /** Tile assignment of images by phash-derived anchor → per-tile counts
     * (the north rule's raster→vector tiling over the image table). The

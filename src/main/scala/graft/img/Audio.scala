@@ -63,6 +63,11 @@ object Audio {
     if (tag() != "data")
       throw graft.core.GeoqException("bad audio container: missing data chunk")
     val dataLen = bb.getInt()
+    // reject, never under-read or underflow: negative/odd lengths and
+    // truncated payloads are malformed, not zero-sample clips
+    if (dataLen < 0 || dataLen % 2 != 0 || bb.remaining() < dataLen)
+      throw graft.core.GeoqException(
+        s"bad audio container: data length $dataLen vs ${bb.remaining()} bytes remaining")
     val n = dataLen / 2
     val out = new Array[Int](n)
     var i = 0

@@ -47,16 +47,31 @@ object Videos {
     VideoRow(f"vid$idx%09d", bos.toByteArray, w, h, n, 24, Images.caption(idx + 500000))
   }
 
-  /** Parse the container into per-frame byte slices (no decode). */
+  /** Parse the container into per-frame byte slices (no decode). Every
+    * length is validated against the remaining buffer BEFORE allocation,
+    * so truncated or corrupt containers reject with GeoqException instead
+    * of EOFException / runaway Array allocations / silent empty videos. */
   def frames(bytes: Array[Byte]): IndexedSeq[Array[Byte]] = {
+    if (bytes.length < 8)
+      throw graft.core.GeoqException("bad video container: truncated header")
     val dis = new DataInputStream(new ByteArrayInputStream(bytes))
     if (dis.readInt() != MAGIC)
       throw graft.core.GeoqException("bad video container: missing GVID magic")
     val n = dis.readInt()
-    (0 until n).map { _ =>
+    if (n < 0)
+      throw graft.core.GeoqException(s"bad video container: negative frame count $n")
+    var remaining = bytes.length - 8
+    (0 until n).map { f =>
+      if (remaining < 4)
+        throw graft.core.GeoqException(s"bad video container: truncated at frame $f")
       val len = dis.readInt()
+      remaining -= 4
+      if (len < 0 || len > remaining)
+        throw graft.core.GeoqException(
+          s"bad video container: frame $f length $len vs $remaining bytes remaining")
       val b = new Array[Byte](len)
       dis.readFully(b)
+      remaining -= len
       b
     }
   }

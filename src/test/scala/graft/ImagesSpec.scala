@@ -85,8 +85,15 @@ class ImagesSpec extends AnyFunSuite {
         }
       }
     }
-    // bad container rejected like every other malformed input
+    // malformed containers reject with GeoqException, never EOF/allocation
     assertThrows[graft.core.GeoqException](Videos.frames(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)))
+    val good = Videos.generate(3L).bytes
+    assertThrows[graft.core.GeoqException](Videos.frames(good.take(good.length / 2))) // truncated mid-frame
+    assertThrows[graft.core.GeoqException](Videos.frames(good.take(6)))               // truncated header
+    val negCount = good.clone(); negCount(4) = 0xFF.toByte // frame count high byte
+    assertThrows[graft.core.GeoqException](Videos.frames(negCount))
+    val hugeLen = good.clone(); hugeLen(8) = 0x7F.toByte   // first frame length high byte
+    assertThrows[graft.core.GeoqException](Videos.frames(hugeLen))
   }
 
   test("audio WAV container: canonical header, lossless round-trip, exact features") {
@@ -105,5 +112,11 @@ class ImagesSpec extends AnyFunSuite {
     }
     assertThrows[graft.core.GeoqException](
       Audio.decodeWav("notawavfilenotawavfilenotawavfilenotawavfile".getBytes))
+    // truncated payload / corrupt data length reject, never underflow or
+    // silently decode as an empty clip
+    val wav = Audio.generate(3L).bytes
+    assertThrows[graft.core.GeoqException](Audio.decodeWav(wav.take(100)))
+    val negLen = wav.clone(); negLen(43) = 0xFF.toByte // data length high byte
+    assertThrows[graft.core.GeoqException](Audio.decodeWav(negLen))
   }
 }
