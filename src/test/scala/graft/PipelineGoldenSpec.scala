@@ -105,6 +105,54 @@ class PipelineGoldenSpec extends AnyFunSuite {
     assert(GeoOps.collectOrdered(negated) == Seq(input(1)))
   }
 
+  test("filter intersects --query-file golden (cli_test.rs:522-545, reference resource)") {
+    // queries come from the reference's OWN resource file (geohash line +
+    // polygon line, union-of-queries semantics)
+    val queryLines = scala.io.Source.fromFile(
+      "/root/reference/tests/resources/query_file.txt").getLines().toSeq
+    val queries = queryLines.filter(_.nonEmpty).flatMap(l => Entity.parseLine(l)).map(_.geom)
+    val input = Seq(
+      "34.2277,-118.2623",
+      """{"type":"Polygon","coordinates":[[[-117.87231445312499,34.77997173591062],[-117.69653320312499,34.77997173591062],[-117.69653320312499,34.90170042871546],[-117.87231445312499,34.90170042871546],[-117.87231445312499,34.77997173591062]]]}""",
+      """{"type":"Polygon","coordinates":[[[-118.27880859375001,34.522398580663314],[-117.89154052734375,34.522398580663314],[-117.89154052734375,34.649025753526985],[-118.27880859375001,34.649025753526985],[-118.27880859375001,34.522398580663314]]]}""")
+    import spark.implicits._
+    val kept = GeoOps.filterIntersects(GeoOps.parseStrings(spark, input), queries)
+      .map(f => (f.rowId, f.subIdx, f.raw))
+    assert(GeoOps.collectOrdered(kept) == Seq(input(0), input(2)))
+  }
+
+  test("filter contains --query-file golden (cli_test.rs:636-660, reference resource)") {
+    val queryLines = scala.io.Source.fromFile(
+      "/root/reference/tests/resources/query_file.txt").getLines().toSeq
+    val queries = queryLines.filter(_.nonEmpty).flatMap(l => Entity.parseLine(l)).map(_.geom)
+    val input = Seq(
+      """{"type": "LineString", "coordinates": [[-44.2529296875, 25.3241665257384], [-42.802734375, 25.502784548755354]]}""",
+      """{"type": "LineString", "coordinates": [[-45.41748046875, 24.186847428521244], [-45, 22.004174972902003]]}""",
+      """{"type": "Point", "coordinates": [-47.4609375, 21.453068633086783]}""")
+    import spark.implicits._
+    val kept = GeoOps.filterContains(GeoOps.parseStrings(spark, input), queries)
+      .map(f => (f.rowId, f.subIdx, f.raw))
+    assert(GeoOps.collectOrdered(kept) == Seq(input(1), input(2)))
+  }
+
+  test("geojson feature with missing or null properties parses (cli_test.rs:562-575)") {
+    val input = Seq(
+      """{"type":"Feature","geometry":{"type":"Point","coordinates":[125.6, 10.1]}}""",
+      """{"type":"Feature","properties":null,"geometry":{"type":"Point","coordinates":[125.6, 10.1]}}""")
+    assert(GeoOps.collectOrdered(GeoOps.wkt(GeoOps.parseStrings(spark, input))) ==
+      Seq("POINT(125.6 10.1)", "POINT(125.6 10.1)"))
+  }
+
+  test("gh point rejects non-point input (cli_test.rs:503-510 error contract)") {
+    val ex = intercept[org.apache.spark.SparkException] {
+      GeoOps.collectOrdered(GeoOps.ghPoint(
+        GeoOps.parseStrings(spark, Seq("LINESTRING (30 10, 10 30, 40 40)")), 7))
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(m => m.contains("non-point") || m.contains("NotImplemented")))
+  }
+
   test("invalid input fails the job (reference fail-fast, par.rs:136-139)") {
     val ex = intercept[org.apache.spark.SparkException] {
       GeoOps.wkt(GeoOps.parseStrings(spark, Seq("12,34", "pizza"))).collect()
