@@ -244,6 +244,20 @@ object GeoOps {
     }
   }
 
+  /** Top-down multi-resolution covering (the reference's dead-code
+    * `commands/h3.rs:291-418`, here a first-class optional mode —
+    * [[graft.index.H3Cover.topDownCovering]]); polygon inputs only. */
+  def h3TopDownCovering(feats: Dataset[FeatureRow], minRes: Int, maxRes: Int,
+                        echo: Boolean): Dataset[(Long, Long, String)] = {
+    import feats.sparkSession.implicits._
+    feats.flatMap { f =>
+      val cells = graft.index.H3Cover.ordered(
+        graft.index.H3Cover.topDownCovering(Geo.fromWkb(f.wkb), minRes, maxRes))
+      val out = if (echo) f.raw +: cells.map(H3.toString) else cells.map(H3.toString)
+      out.zipWithIndex.map { case (c, i) => (f.rowId, (f.subIdx.toLong << 32) | i.toLong, c) }
+    }
+  }
+
   // ---- filters: stream × broadcast-query-set semi-joins ----
 
   /** `geoq filter intersects` (`commands/filter.rs:31-46`): keep entity iff

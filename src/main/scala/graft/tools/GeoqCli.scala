@@ -130,6 +130,9 @@ object GeoqCli {
       case "h3-covering" :: res :: rest =>
         emit(GeoOps.collectOrderedWide(GeoOps.h3Covering(feats, res.toInt,
           echo = rest.contains("-o"), compact = rest.contains("--compact"))))
+      case "h3-top-down-covering" :: minRes :: maxRes :: rest =>
+        emit(GeoOps.collectOrderedWide(GeoOps.h3TopDownCovering(feats,
+          minRes.toInt, maxRes.toInt, echo = rest.contains("-o"))))
       case "h3-to-str" :: Nil =>
         lines.foreach(l => println(graft.index.H3.toPaddedString(
           java.lang.Long.parseUnsignedLong(l.trim))))
