@@ -33,26 +33,48 @@ object SpatialJoin {
      greatest(least(floor(((lat + lit(90.0)) / lit(180.0)) * lit(l.toDouble)), lit(l - 1)), lit(0L)).cast("int"))
   }
 
+  /** The grid matched to a BOX table: cell width ≈ half the median box
+    * extent (cost balance: each box explodes to ~3×3 cells while the
+    * candidate area stays within ~4× the box area — a fixed 620 km grid
+    * joined every point in a cell against every sub-km box in it, the same
+    * pathology [[bitsForRadius]] fixes for geofences). One tiny agg job
+    * over the box side (small by contract) prices the choice; clamped to
+    * [1, 12] like the radius grid (degenerate/point boxes would otherwise
+    * demand unbounded resolution). Falls back to 6 for an empty table. */
+  def bitsForBoxes(boxes: DataFrame): Int = {
+    val row = boxes.select(
+      percentile_approx(col("maxx") - col("minx"), lit(0.5), lit(100)).as("ex"),
+      percentile_approx(col("maxy") - col("miny"), lit(0.5), lit(100)).as("ey"))
+      .head()
+    if (row.isNullAt(0) || row.isNullAt(1)) return 6
+    val ex = math.max(row.getDouble(0), 1e-12)
+    val ey = math.max(row.getDouble(1), 1e-12)
+    val b = math.floor(math.log(math.min(720.0 / ex, 360.0 / ey)) / math.log(2.0)).toInt
+    math.max(1, math.min(12, b))
+  }
+
+  private def resolveBoxBits(bits: Int, right: DataFrame): Int =
+    if (bits == AUTO_BITS) bitsForBoxes(right) else bits
+
   /** Spatial inner join: `left` (id, lon, lat) points × `right`
     * (rid, minx, miny, maxx, maxy) boxes → (id, rid) pairs where the point
     * intersects the box (inclusive boundary). Cell-keyed: the box side is
     * exploded to its covering cells, the point side keyed to its single
     * cell — a plain shuffled hash equi-join that scales with data, refined
-    * by the exact predicate. */
-  def joinPointsInBoxes(left: DataFrame, right: DataFrame, bits: Int = 6): DataFrame = {
-    val l = 1L << bits
-    val cellW = 360.0 / l
-    val cellH = 180.0 / l
-    val (pcx, pcy) = cellCols(col("lon"), col("lat"), bits)
+    * by the exact predicate. The grid adapts to the box table's median
+    * extent by default ([[bitsForBoxes]]); pass `bits` to override. */
+  def joinPointsInBoxes(left: DataFrame, right: DataFrame,
+                        bits: Int = AUTO_BITS): DataFrame = {
+    val b = resolveBoxBits(bits, right)
+    val (pcx, pcy) = cellCols(col("lon"), col("lat"), b)
     val pts = left.withColumn("cx", pcx).withColumn("cy", pcy)
 
     // covering cells of each box: all cells its bbox touches
-    val (bx0, by0) = cellCols(col("minx"), col("miny"), bits)
-    val (bx1, by1) = cellCols(col("maxx"), col("maxy"), bits)
+    val (bx0, by0) = cellCols(col("minx"), col("miny"), b)
+    val (bx1, by1) = cellCols(col("maxx"), col("maxy"), b)
     val boxes = right
       .withColumn("cx", explode(sequence(bx0, bx1)))
       .withColumn("cy", explode(sequence(by0, by1)))
-    val _ = (cellW, cellH) // cell sizes documented for tuning `bits`
 
     pts.join(boxes, Seq("cx", "cy"))
       .filter(col("lon") >= col("minx") && col("lon") <= col("maxx") &&
@@ -89,10 +111,16 @@ object SpatialJoin {
     * candidates are deduped before the exact refine (the dedupe shuffle is
     * the price of two big sides; with one small side prefer
     * [[joinPointsInBoxes]]-style single-cell keying). */
-  def joinBoxesBoxes(a: DataFrame, b: DataFrame, bits: Int = 6): DataFrame = {
+  def joinBoxesBoxes(a: DataFrame, b: DataFrame, bits: Int = AUTO_BITS): DataFrame = {
+    // grid from the LARGER side's extents (coarser of the two choices):
+    // keeps the explode bounded for both; the smaller boxes just share
+    // cells with a few more candidates, which the dedupe+refine absorbs
+    val gb =
+      if (bits != AUTO_BITS) bits
+      else math.min(bitsForBoxes(a), bitsForBoxes(b))
     def cells(df: DataFrame) = {
-      val (x0, y0) = cellCols(col("minx"), col("miny"), bits)
-      val (x1, y1) = cellCols(col("maxx"), col("maxy"), bits)
+      val (x0, y0) = cellCols(col("minx"), col("miny"), gb)
+      val (x1, y1) = cellCols(col("maxx"), col("maxy"), gb)
       df.withColumn("cx", explode(sequence(x0, x1)))
         .withColumn("cy", explode(sequence(y0, y1)))
     }
@@ -354,15 +382,15 @@ object SpatialJoin {
     * for the pathological keys AQE can't split (single-key hotspots inside
     * one shuffle partition). */
   def joinPointsInBoxesSalted(left: DataFrame, right: DataFrame,
-                              bits: Int = 6, salts: Int = 8): DataFrame = {
-    val l = 1L << bits
-    val (pcx, pcy) = cellCols(col("lon"), col("lat"), bits)
+                              bits: Int = AUTO_BITS, salts: Int = 8): DataFrame = {
+    val b = resolveBoxBits(bits, right)
+    val (pcx, pcy) = cellCols(col("lon"), col("lat"), b)
     val pts = left.withColumn("cx", pcx).withColumn("cy", pcy)
       // deterministic salt (xxhash64 of id) keeps runs reproducible
       .withColumn("salt", pmod(xxhash64(col("id")), lit(salts)).cast("int"))
 
-    val (bx0, by0) = cellCols(col("minx"), col("miny"), bits)
-    val (bx1, by1) = cellCols(col("maxx"), col("maxy"), bits)
+    val (bx0, by0) = cellCols(col("minx"), col("miny"), b)
+    val (bx1, by1) = cellCols(col("maxx"), col("maxy"), b)
     val boxes = right
       .withColumn("cx", explode(sequence(bx0, bx1)))
       .withColumn("cy", explode(sequence(by0, by1)))

@@ -295,6 +295,42 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(got.size > qs.count(), "no non-self matches — weak fixture")
   }
 
+  test("box-extent-adaptive grid: tiny boxes get a fine grid, results unchanged") {
+    import spark.implicits._
+    // clustered points + sub-0.05-degree boxes: the fixed 620 km grid put
+    // the whole cluster in 1-2 cells
+    val pts = spark.range(3000).map { i =>
+      (i, 2.0 * (((i * 2246822519L) % 4294967296L) / 4294967296.0),
+        2.0 * (((i * 2654435761L) % 4294967296L) / 4294967296.0))
+    }.toDF("id", "lon", "lat")
+    val boxes = spark.range(40).map { i =>
+      val x = 2.0 * (((i * 48271L) % 1024L) / 1024.0)
+      val y = 2.0 * (((i * 16807L) % 1024L) / 1024.0)
+      (i, x, y, x + 0.04, y + 0.03)
+    }.toDF("rid", "minx", "miny", "maxx", "maxy")
+    val autoBits = SpatialJoin.bitsForBoxes(boxes)
+    assert(autoBits == 12, s"expected the fine-grid clamp for 0.04-deg boxes, got $autoBits")
+    // nation-box-scale extents keep a coarse grid (no bench regression)
+    val wide = spark.range(25).map(i =>
+      (i, -100.0 + i * 2.0, -40.0 + i, -100.0 + i * 2.0 + 15.0, -40.0 + i + 10.0))
+      .toDF("rid", "minx", "miny", "maxx", "maxy")
+    assert(SpatialJoin.bitsForBoxes(wide) <= 6)
+    // identical pairs through AUTO and through the old fixed grid
+    val auto = SpatialJoin.joinPointsInBoxes(pts, boxes)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val fixed = SpatialJoin.joinPointsInBoxes(pts, boxes, bits = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(auto == fixed && auto.nonEmpty)
+    // and boxBoxes with mixed sizes stays exact under AUTO
+    val bb = SpatialJoin.joinBoxesBoxes(
+      boxes.withColumnRenamed("rid", "id"), wide)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val bbFixed = SpatialJoin.joinBoxesBoxes(
+      boxes.withColumnRenamed("rid", "id"), wide, bits = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(bb == bbFixed)
+  }
+
   test("q50 embed near-dup: banded LSH == brute-force cosine; no cartesian product in the plan") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
