@@ -39,9 +39,11 @@ object ScaleSmoke {
       .cache()
     pts.count() // materialize outside the timers
 
-    val queries = pts.filter(col("id") % lit(n / 1000) === 0)
+    // max(1, …) keeps tiny debug runs (n < 1000) from a modulo-by-zero
+    // under ANSI mode; they just use every point as a query
+    val queries = pts.filter(col("id") % lit(math.max(1L, n / 1000)) === 0)
       .select(col("id").as("qid"), col("lon").as("qlon"), col("lat").as("qlat"))
-    val knnQs = pts.filter(col("id") % lit(n / 200) === 0)
+    val knnQs = pts.filter(col("id") % lit(math.max(1L, n / 200)) === 0)
       .select(col("id").as("qid"), col("lon").as("qlon"), col("lat").as("qlat"))
     val boxes = spark.range(10000)
       .select(col("id").as("rid"),

@@ -37,20 +37,33 @@ object SpatialJoin {
     * extent (cost balance: each box explodes to ~3×3 cells while the
     * candidate area stays within ~4× the box area — a fixed 620 km grid
     * joined every point in a cell against every sub-km box in it, the same
-    * pathology [[bitsForRadius]] fixes for geofences). One tiny agg job
-    * over the box side (small by contract) prices the choice; clamped to
-    * [1, 12] like the radius grid (degenerate/point boxes would otherwise
-    * demand unbounded resolution). Falls back to 6 for an empty table. */
+    * pathology [[bitsForRadius]] fixes for geofences), BOUNDED by the MAX
+    * extent so one outlier box never explodes past ~64 cells/axis (a
+    * world-spanning straggler in a mostly-tiny table pins the grid back to
+    * the old 64×64 worst case instead of 2^24 cells from one row). The
+    * stats come from a bounded SAMPLE (limit before the percentile), so a
+    * big box side prices a partial scan, not a full pass; clamped [1, 12]
+    * (degenerate/point boxes would otherwise demand unbounded resolution).
+    * Falls back to 6 for an empty table. */
   def bitsForBoxes(boxes: DataFrame): Int = {
-    val row = boxes.select(
-      percentile_approx(col("maxx") - col("minx"), lit(0.5), lit(100)).as("ex"),
-      percentile_approx(col("maxy") - col("miny"), lit(0.5), lit(100)).as("ey"))
+    val row = boxes
+      .select((col("maxx") - col("minx")).as("dx"), (col("maxy") - col("miny")).as("dy"))
+      .limit(20000)
+      .select(
+        percentile_approx(col("dx"), lit(0.5), lit(100)).as("ex"),
+        percentile_approx(col("dy"), lit(0.5), lit(100)).as("ey"),
+        max(col("dx")).as("mx"), max(col("dy")).as("my"))
       .head()
     if (row.isNullAt(0) || row.isNullAt(1)) return 6
     val ex = math.max(row.getDouble(0), 1e-12)
     val ey = math.max(row.getDouble(1), 1e-12)
-    val b = math.floor(math.log(math.min(720.0 / ex, 360.0 / ey)) / math.log(2.0)).toInt
-    math.max(1, math.min(12, b))
+    val mx = math.max(row.getDouble(2), 1e-12)
+    val my = math.max(row.getDouble(3), 1e-12)
+    val bMedian = math.floor(math.log(math.min(720.0 / ex, 360.0 / ey)) / math.log(2.0)).toInt
+    // explode cap: cell ≥ maxExtent/64 on both axes
+    val bCap = math.floor(
+      math.log(math.min(64.0 * 360.0 / mx, 64.0 * 180.0 / my)) / math.log(2.0)).toInt
+    math.max(1, math.min(12, math.min(bMedian, bCap)))
   }
 
   private def resolveBoxBits(bits: Int, right: DataFrame): Int =

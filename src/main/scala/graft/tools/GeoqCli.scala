@@ -15,7 +15,8 @@ import org.apache.spark.sql.SparkSession
   *       gh-neighbors [-e] | gh-covering L [-o] | gh-roots | centroid |
   *       filter-intersects Q | filter-contains Q | measure-distance Q |
   *       h3-point R | h3-hierarchy | h3-grid-disk [k] |
-  *       h3-covering R [-o] [--compact] | h3-parent R | h3-children R |
+  *       h3-covering R [-o] [--compact] | h3-top-down-covering MIN MAX [-o] |
+  *       h3-parent R | h3-children R |
   *       h3-resolution | h3-to-str | h3-from-str | bbox [--embed] |
   *       shp PATH | fgb-write PATH | fgb-read PATH [--bbox a,b,c,d]
   */

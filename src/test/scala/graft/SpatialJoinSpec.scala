@@ -310,6 +310,12 @@ class SpatialJoinSpec extends AnyFunSuite {
     }.toDF("rid", "minx", "miny", "maxx", "maxy")
     val autoBits = SpatialJoin.bitsForBoxes(boxes)
     assert(autoBits == 12, s"expected the fine-grid clamp for 0.04-deg boxes, got $autoBits")
+    // ONE world-spanning outlier among the tiny boxes must pull the grid
+    // back to the bounded-explode regime (<= 64 cells/axis for the outlier)
+    val withOutlier = boxes.unionByName(
+      Seq((999L, -180.0, -90.0, 180.0, 90.0)).toDF("rid", "minx", "miny", "maxx", "maxy"))
+    assert(SpatialJoin.bitsForBoxes(withOutlier) <= 6,
+      s"outlier box must cap the grid, got ${SpatialJoin.bitsForBoxes(withOutlier)}")
     // nation-box-scale extents keep a coarse grid (no bench regression)
     val wide = spark.range(25).map(i =>
       (i, -100.0 + i * 2.0, -40.0 + i, -100.0 + i * 2.0 + 15.0, -40.0 + i + 10.0))
