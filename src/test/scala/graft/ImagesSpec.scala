@@ -119,4 +119,36 @@ class ImagesSpec extends AnyFunSuite {
     val negLen = wav.clone(); negLen(43) = 0xFF.toByte // data length high byte
     assertThrows[graft.core.GeoqException](Audio.decodeWav(negLen))
   }
+
+  test("container fuzz: every truncation point rejects with GeoqException, never leaks raw errors") {
+    import graft.img.{Audio, Videos}
+    val vid = Videos.generate(7L).bytes
+    val wav = Audio.generate(7L).bytes
+    val rnd = new scala.util.Random(7)
+    // all short prefixes + a random sample of longer ones
+    def cuts(len: Int): Seq[Int] =
+      (0 until math.min(len, 64)) ++ Seq.fill(200)(rnd.nextInt(len))
+    cuts(vid.length).foreach { k =>
+      if (k < vid.length) {
+        val e = intercept[Exception](Videos.frames(vid.take(k)))
+        assert(e.isInstanceOf[graft.core.GeoqException], s"video cut=$k threw ${e.getClass}")
+      }
+    }
+    cuts(wav.length).foreach { k =>
+      if (k < wav.length) {
+        val e = intercept[Exception](Audio.decodeWav(wav.take(k)))
+        assert(e.isInstanceOf[graft.core.GeoqException], s"wav cut=$k threw ${e.getClass}")
+      }
+    }
+    // random single-byte corruptions parse fully or reject cleanly (image
+    // payload corruptions may still parse: lengths can remain consistent)
+    (0 until 100).foreach { _ =>
+      val b = vid.clone(); b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      try { Videos.frames(b); () }
+      catch {
+        case _: graft.core.GeoqException => ()
+        case e: Throwable => fail(s"video corruption threw ${e.getClass}")
+      }
+    }
+  }
 }
