@@ -318,23 +318,38 @@ object Queries {
     * pins stopped sessions' caches forever; the cap counts entries, not
     * sessions, so it sits well above any realistic (session × dir) working
     * set. Eviction is best-effort (a stopped context makes unpersist
-    * throw; NonFatal swallowed). NOTE: `f` runs under the cache monitor —
-    * builders must be LAZY plan construction (.cache() marks, no actions),
-    * which all current users are; anything that triggers a Spark job
-    * belongs outside this class (see the anchor-table once-flag). */
+    * throw; NonFatal swallowed; a value evicted before its first use is
+    * never unpersisted — bounded, benign).
+    *
+    * The builder `f` runs OUTSIDE the map monitor, via a per-key lazy
+    * holder: the map lock only covers the get/put of the holder, so a slow
+    * builder (driver-side parquet listing, plan analysis) blocks only
+    * same-key callers — unrelated keys never serialize on each other. */
   private[graft] final class SessionCache[V](cap: Int, onEvict: V => Unit) {
-    private val m = new java.util.LinkedHashMap[String, V](cap * 2, 0.75f, true) {
-      override def removeEldestEntry(e: java.util.Map.Entry[String, V]): Boolean =
+    private final class Holder(f: () => V) {
+      lazy val value: V = f() // at most once; same-key callers block here
+      @volatile var forced = false
+    }
+    private val m = new java.util.LinkedHashMap[String, Holder](cap * 2, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, Holder]): Boolean =
         if (size > cap) {
-          try onEvict(e.getValue)
-          catch { case scala.util.control.NonFatal(_) => () }
+          val h = e.getValue
+          if (h.forced) {
+            try onEvict(h.value)
+            catch { case scala.util.control.NonFatal(_) => () }
+          }
           true
         } else false
     }
-    def getOrElseUpdate(k: String, f: => V): V = m.synchronized {
-      val cur = m.get(k)
-      if (cur != null) cur
-      else { val v = f; m.put(k, v); v }
+    def getOrElseUpdate(k: String, f: => V): V = {
+      val h = m.synchronized {
+        val cur = m.get(k)
+        if (cur != null) cur
+        else { val nh = new Holder(() => f); m.put(k, nh); nh }
+      }
+      val v = h.value
+      h.forced = true
+      v
     }
   }
 
@@ -460,7 +475,12 @@ object Queries {
   val EMB_OFFSET = 1000000L
 
   /** 16 random-hyperplane sign bits; hyperplane entries are deterministic
-    * ±1 from integer hash parity (SQL-mirrorable). */
+    * ±1 from integer hash parity (SQL-mirrorable). The plane-index stride
+    * is 4096 (≫ any plausible embedding dimension), so bit j's hyperplane
+    * never aliases bit j+1's — the old stride of 64 silently correlated
+    * the sign bits for > 64-dim vectors. Banded-LSH recall is exactly 100%
+    * only for the PLANTED scaled copies (scaling preserves every sign);
+    * for arbitrary near-dup pairs it is probabilistic, as with any LSH. */
   private[graft] val embSigUdf = udf((v: Seq[Double]) => {
     var out = 0L
     var j = 0
@@ -469,7 +489,7 @@ object Queries {
       var d = 0
       while (d < v.length) {
         val sgn =
-          if ((2654435761L * (j * 64 + d + 1)) % 4294967296L < 2147483648L) 1.0 else -1.0
+          if ((2654435761L * (j * 4096 + d + 1)) % 4294967296L < 2147483648L) 1.0 else -1.0
         s += v(d) * sgn
         d += 1
       }
@@ -629,6 +649,39 @@ object Queries {
       .orderBy("qid", "id")
   }
 
+  /** Sub-degree query boxes inside the clustered 2°×2° regime, derived
+    * from nation keys by exact dyadic math (every constant is k/2^7 or
+    * k/2^5 scaled — all float ops exact, mirrored in the oracle). Extents
+    * 0.0625–0.1875° × 0.046875–0.109375°: the regime where a fixed 64×64
+    * world grid (620 km cells) collapses the whole cluster into 1-2 cells. */
+  def clusterBoxes(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/nation.parquet").select(
+      col("n_nationkey").cast("long").as("rid"),
+      (lit(2.0) * ((col("n_nationkey") * 67 % 128).cast("double") / lit(128.0))).as("minx"),
+      (lit(2.0) * ((col("n_nationkey") * 37 % 128).cast("double") / lit(128.0))).as("miny"),
+      (lit(2.0) * ((col("n_nationkey") * 67 % 128).cast("double") / lit(128.0)) +
+        lit(0.0625) + (col("n_nationkey") % 5).cast("double") * lit(0.03125)).as("maxx"),
+      (lit(2.0) * ((col("n_nationkey") * 37 % 128).cast("double") / lit(128.0)) +
+        lit(0.046875) + (col("n_nationkey") % 3).cast("double") * lit(0.03125)).as("maxy"))
+
+  /** The NATURAL range-predicate join in the SUB-DEGREE-box regime through
+    * the [[graft.plans.SpatialJoinRewrite]] rule with the grid left on
+    * `auto` — the driver gate for the rewrite's ADAPTIVE grid (round-4
+    * closed this regime for the DataFrame API via q48; this closes it for
+    * the SQL surface): clustered points × 0.05-0.2° boxes would collapse
+    * into 1-2 cells of the old fixed 64×64 grid, while the sampled-extent
+    * derivation picks the fine clamp (bits=12, asserted ≥ bitsForBoxes in
+    * SpatialJoinSpec). The oracle is the plain range join. Same
+    * child-session isolation as q43/q51. */
+  def q56NaturalSmall(spark: SparkSession, dir: String): DataFrame = {
+    val s2 = spark.newSession()
+    graft.plans.SpatialPlanner.enable(s2)
+    clusteredPts(s2, dir).join(clusterBoxes(s2, dir),
+      col("lon") >= col("minx") && col("lon") <= col("maxx") &&
+        col("lat") >= col("miny") && col("lat") <= col("maxy"))
+      .select("id", "rid").orderBy("id", "rid")
+  }
+
   /** Rectangle × rectangle intersection join under the driver gate: small
     * per-event boxes against the nation boxes through the both-sides-
     * exploded cell join (+ candidate dedupe); the oracle is the plain SQL
@@ -685,33 +738,59 @@ object Queries {
 
   val IMG_N = 2000L
 
-  /** Fixed parquet path for the persisted image-anchor table — the bridge
+  /** Parquet path for the persisted image-anchor table — the bridge
     * that puts the image queries under the driver HASH gate: the engine
     * derives (image_id, phash, lon, lat) through the REAL pipeline
     * (render → encode → decode → phash → anchor), persists it, and both
     * engines compute the downstream geometry from the STORED columns. The
     * oracle inner-joins the expected id set, so a missing/malformed row
-    * diverges the counts and hash-fails. */
-  val ANCHORS_PATH = "/root/repo/.oracle_aux/img_anchors"
+    * diverges the counts and hash-fails. Overridable via GRAFT_ANCHORS_DIR
+    * (relocated checkouts); the oracle SQL interpolates the same value at
+    * dump time, so both engines always read one path. */
+  val ANCHORS_PATH: String =
+    sys.env.getOrElse("GRAFT_ANCHORS_DIR", "/root/repo/.oracle_aux/img_anchors")
 
-  // write the persisted anchor table ONCE per JVM (q27, q29, and every
-  // bench rep share it): content is deterministic, so a single refresh at
-  // first use both avoids re-running the image pipeline per call and —
-  // unlike an evictable memo — can never rewrite the directory under a
-  // still-cached reader in another session. The double-checked lock blocks
-  // concurrent first callers until the write completes (no partial-dir
-  // window); a failed write resets the flag so the next caller retries.
+  // Publish the anchor table ONCE, atomically (q27, q29, bench reps, and
+  // any CONCURRENT verify/bench JVM all share it): content is
+  // deterministic, so any complete copy is interchangeable. Protocol:
+  // a directory containing Spark's _SUCCESS marker is complete and final
+  // (never rewritten — a still-cached reader in another JVM is safe); a
+  // marker-less directory is a crashed partial and is replaced. Writers
+  // write to a unique tmp dir, then atomically rename into place; losing
+  // a rename race just means another JVM published the identical bytes.
   @volatile private var anchorsWritten = false
   private val anchorLock = new Object
 
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => Files.deleteIfExists(q))
+      finally s.close()
+    }
+  }
+
   private def imgAnchors(spark: SparkSession): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     if (!anchorsWritten) anchorLock.synchronized {
       if (!anchorsWritten) {
-        import spark.implicits._
-        imageTable(spark, IMG_N)
-          .map(r => (r.image_id, r.phash, Images.anchorLon(r.phash), Images.anchorLat(r.phash)))
-          .toDF("image_id", "phash", "lon", "lat")
-          .write.mode("overwrite").parquet(ANCHORS_PATH)
+        val fin = Paths.get(ANCHORS_PATH)
+        if (!Files.exists(fin.resolve("_SUCCESS"))) {
+          import spark.implicits._
+          val tmp = Paths.get(ANCHORS_PATH + ".tmp-" + java.util.UUID.randomUUID())
+          imageTable(spark, IMG_N)
+            .map(r => (r.image_id, r.phash, Images.anchorLon(r.phash), Images.anchorLat(r.phash)))
+            .toDF("image_id", "phash", "lon", "lat")
+            .write.mode("overwrite").parquet(tmp.toString)
+          deleteRecursively(fin) // crashed partial (no _SUCCESS) or absent
+          try Files.move(tmp, fin, StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            case _: java.nio.file.FileSystemException
+                if Files.exists(fin.resolve("_SUCCESS")) =>
+              deleteRecursively(tmp) // lost the race to an identical copy
+          }
+        }
         anchorsWritten = true
       }
     }
@@ -813,6 +892,71 @@ object Queries {
       (v.video_id, v.n_frames.toLong, sampled.size.toLong, ok)
     }.toDF("video_id", "n_frames", "n_sampled", "frames_ok")
       .orderBy("video_id")
+  }
+
+  // ---------------- video near-dup (multimodal similarity) ----------------
+
+  /** Video table plus planted near-dup twins of every 5th video
+    * ([[Videos.twin]]: re-encoded through the real ImageIO path, last
+    * frame dropped). */
+  def videoNearDupTable(spark: SparkSession, n: Long): org.apache.spark.sql.Dataset[VideoRow] = {
+    import spark.implicits._
+    val twins = spark.range(n).filter(col("id") % 5 === 0)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long].map(i => Videos.twin(Videos.generate(i), i))
+    videoTable(spark, n).unionByName(twins)
+  }
+
+  // memoized per-frame feature table (vid, fidx, fhash, pix, nf) — feeds
+  // both LSH band branches and both sides of the refine join; same cache
+  // rationale/lifecycle as embCache (decode+phash per frame is the
+  // expensive kernel, run once)
+  private val vidFrameCache = new SessionCache[DataFrame](32, _.unpersist(false))
+
+  /** VIDEO-level near-dup detection at scale (the similarity op for the
+    * multimodal axis): explode videos to per-frame features through the
+    * REAL container-parse → ImageIO-decode path (fhash = aHash of decoded
+    * pixels, pix = MD5 of the decoded pixel field), bucket by the leading
+    * two frame hashes (banded equi-join — every video has ≥ 4 frames, and
+    * a twin provably shares frames 0 and 1 bit-exactly because PNG is
+    * lossless, so planted recall is 100%), then refine EXACTLY: count
+    * frame positions whose decoded pixels match (pix equality) and keep
+    * pairs sharing ≥ 75% of the longer video's frames. The planted twins
+    * share exactly n-1 of n frames (4·(n-1) ≥ 3·n for n ≥ 4); any
+    * non-planted candidate pair would need bit-identical decoded frames
+    * across distinct render seeds — the oracle therefore predicts the
+    * planted pairs and their n_shared from the shared integer hash alone.
+    * Scale shape: frame explode is row-local; candidates come from a
+    * banded equi-join (never all-pairs); the refine joins per-frame rows
+    * by (pair, frame index). */
+  def q54VideoNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val frames = vidFrameCache.getOrElseUpdate(
+      s"${org.apache.spark.sql.graft.bridge.sessionUUID(spark)}|videos", {
+        videoNearDupTable(spark, VID_N).flatMap { v =>
+          Videos.frames(v.bytes).zipWithIndex.map { case (b, i) =>
+            val img = Images.decode(b)
+            (v.video_id, i, Images.phash(img), Images.pixelMd5(img), v.n_frames)
+          }
+        }.toDF("vid", "fidx", "fhash", "pix", "nf").cache()
+      })
+    val bands = frames.filter(col("fidx") < 2)
+      .select(col("vid"), col("fidx").as("band"), col("fhash").as("bkey"), col("nf"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),
+        col("a.nf").as("nfa"), col("b.nf").as("nfb"))
+      .distinct()
+    val fa = frames.select(col("vid").as("id_a"), col("fidx"), col("pix").as("pa"))
+    val fb = frames.select(col("vid").as("id_b"), col("fidx"), col("pix").as("pb"))
+    cand.join(fa, Seq("id_a"))
+      .join(fb, Seq("id_b", "fidx"))
+      .groupBy("id_a", "id_b", "nfa", "nfb")
+      .agg(sum(when(col("pa") === col("pb"), 1L).otherwise(0L)).as("n_shared"))
+      .filter(col("n_shared") * 4 >= greatest(col("nfa"), col("nfb")) * 3)
+      .select(col("id_a"), col("id_b"), col("n_shared"))
+      .orderBy("id_a", "id_b")
   }
 
   // ---------------- audio features (multimodal) ----------------
@@ -1294,6 +1438,62 @@ object Queries {
           ","),
         lit("],\"type\":\"FeatureCollection\"}")).as("fc"))
       .orderBy("grp")
+  }
+
+  /** The TOP-DOWN multi-resolution covering (reference dead code
+    * `commands/h3.rs:291-418`, implemented as H3Cover.topDownCovering)
+    * under the driver HASH gate — round 4 left it property-tested only.
+    * Two runs per cell over the cell's own hexagon:
+    *  - minRes = maxRes = res: the start search finds the cell itself
+    *    (its polygon covers itself) and emits exactly {cell} — n_self = 1
+    *    and self_ok are closed-form;
+    *  - minRes = res, maxRes = res+2: the emitted multi-res set is not
+    *    integer-predictable (compaction depends on child-center geometry),
+    *    but four ALGORITHM INVARIANTS are — every emitted maxRes leaf has
+    *    its center inside the geometry (∈ the maxRes polyfill), every
+    *    emitted PARENT has all direct children's centers inside (the
+    *    group-compaction emission rule), every emitted resolution lies in
+    *    [minRes, maxRes], and no emitted cell is an ancestor of another.
+    * NOTE the popular "expansion ⊇ polyfill" property is deliberately NOT
+    * gated: it is not an algorithm invariant — when the geometry equals
+    * the start cover exactly, aperture-7 child overflow puts boundary
+    * polyfill cells in neighbor subtrees the descent correctly prunes
+    * (H3GeoSpec box fixtures satisfy it only by margin; FIXTURES.md §9).
+    * All six outputs are constants iff the start search, descent,
+    * group-compaction and leaf-emission logic are correct; the oracle
+    * mirrors the constants. Every 5th event row (the per-row descent at
+    * res+2 is among the most expensive H3 kernels in the suite). */
+  def q55TopdownCover(spark: SparkSession, dir: String): DataFrame = {
+    val stats = udf((cell: Long, res: Int) => {
+      import graft.index.{H3, H3Cover, H3Geo}
+      import org.locationtech.jts.geom.Coordinate
+      val poly = H3Geo.cellPolygon(cell)
+      val self = H3Cover.topDownCovering(poly, res, res)
+      val maxRes = res + 2
+      val td = H3Cover.topDownCovering(poly, res, maxRes)
+      val pf = H3Cover.polygonCells(poly, maxRes)
+      val leavesOk = td.filter(c => H3.resolution(c) == maxRes).forall(pf.contains)
+      val parentOk = td.filter(c => H3.resolution(c) < maxRes).forall { p =>
+        H3.cellToChildren(p, H3.resolution(p) + 1).forall { ch =>
+          val (la, ln) = H3Geo.cellToLatLng(ch)
+          poly.contains(Geo.factory.createPoint(new Coordinate(ln, la)))
+        }
+      }
+      val rangeOk = td.forall(c =>
+        H3.resolution(c) >= res && H3.resolution(c) <= maxRes)
+      val nestOk = td.forall { c =>
+        (res until H3.resolution(c)).forall(pr => !td.contains(H3.cellToParent(c, pr)))
+      }
+      (self.size, self == Set(cell), leavesOk, parentOk, rangeOk, nestOk)
+    })
+    h3Cells(spark, dir)
+      .filter(col("id") % 5 === 0)
+      .withColumn("s", stats(col("cell"), col("res")))
+      .select(col("id"), lower(hex(col("cell"))).as("cell_str"),
+        col("s._1").as("n_self"), col("s._2").as("self_ok"),
+        col("s._3").as("leaves_ok"), col("s._4").as("parent_ok"),
+        col("s._5").as("range_ok"), col("s._6").as("nest_ok"))
+      .orderBy("id")
   }
 
   /** h3 children/compact: the 49 res+2 descendants compact back to exactly

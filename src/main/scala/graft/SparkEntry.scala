@@ -73,6 +73,9 @@ object SparkEntry {
     "q51_natural_anti" -> (Queries.q51NaturalAnti _),
     "q52_video_sample" -> (Queries.q52VideoSample _),
     "q53_audio_features" -> (Queries.q53AudioFeatures _),
+    "q54_video_neardup" -> (Queries.q54VideoNearDup _),
+    "q55_topdown_cover" -> (Queries.q55TopdownCover _),
+    "q56_natural_small" -> (Queries.q56NaturalSmall _),
   )
 
   // ---------------- oracle SQL ----------------
@@ -660,6 +663,48 @@ object SparkEntry {
         |  CAST(17 - sum(removed) AS BIGINT) AS n_after,
         |  CAST(sum(CASE WHEN removed = 0 THEN i * 1000000 + y ELSE 0 END) AS BIGINT) AS kept_sum
         |FROM w GROUP BY id ORDER BY id""".stripMargin,
+
+    // video near-dup ground truth: the banded frame-hash LSH provably
+    // recalls every planted twin (PNG-lossless bit-identical leading
+    // frames), the exact pixel-MD5 refine kills everything else, and
+    // n_shared = n_frames - 1 comes from the shared integer hash — so the
+    // result is exactly the planted (original, twin) pairs
+    "q54_video_neardup" ->
+      s"""WITH v AS (SELECT i, 4 + ((i * 2654435761) % 4294967296) % 8 AS n
+         |  FROM range(${Queries.VID_N}) t(i) WHERE i % 5 = 0)
+         |SELECT 'vid' || lpad(CAST(i AS VARCHAR), 9, '0') AS id_a,
+         |  'vid' || lpad(CAST(i + ${graft.img.Videos.TWIN_OFFSET} AS VARCHAR), 9, '0') AS id_b,
+         |  CAST(n - 1 AS BIGINT) AS n_shared
+         |FROM v ORDER BY id_a, id_b""".stripMargin,
+
+    // top-down covering invariants: n_self/self_ok are closed-form (the
+    // start search finds the cell itself and emits exactly it); the four
+    // multi-res booleans are algorithm invariants (leaf rule, parent
+    // emission rule, resolution range, nesting-freedom), constant-true iff
+    // the descent/compaction/leaf logic is correct. "expansion ⊇ polyfill"
+    // is NOT an invariant (FIXTURES.md §9) and is deliberately absent.
+    "q55_topdown_cover" ->
+      s"""WITH h3c AS (SELECT event_id AS id, ${OracleSql.H3_CELL_EXPR} AS cell FROM events
+         |  WHERE event_id % 5 = 0)
+         |SELECT id, printf('%x', cell) AS cell_str, 1 AS n_self,
+         |  true AS self_ok, true AS leaves_ok, true AS parent_ok,
+         |  true AS range_ok, true AS nest_ok
+         |FROM h3c ORDER BY id""".stripMargin,
+
+    // the q48 regime through the CATALYST REWRITE's adaptive grid: plain
+    // range join over the clustered points and exact-dyadic sub-degree
+    // boxes (all float math exact on both engines)
+    "q56_natural_small" ->
+      s"""WITH ${OracleSql.CPTS_CTE},
+         |b AS (SELECT CAST(n_nationkey AS BIGINT) AS rid,
+         |    2.0 * ((n_nationkey * 67 % 128) / 128.0) AS minx,
+         |    2.0 * ((n_nationkey * 37 % 128) / 128.0) AS miny,
+         |    2.0 * ((n_nationkey * 67 % 128) / 128.0) + 0.0625 + (n_nationkey % 5) * 0.03125 AS maxx,
+         |    2.0 * ((n_nationkey * 37 % 128) / 128.0) + 0.046875 + (n_nationkey % 3) * 0.03125 AS maxy
+         |  FROM nation)
+         |SELECT id, rid FROM cpts JOIN b
+         |ON lon >= minx AND lon <= maxx AND lat >= miny AND lat <= maxy
+         |ORDER BY id, rid""".stripMargin,
 
     "q47_box_join" ->
       s"""WITH $P,

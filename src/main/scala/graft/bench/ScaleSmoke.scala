@@ -59,17 +59,24 @@ object ScaleSmoke {
       val rows = f
       ((System.nanoTime() - t0) / 1e9, rows)
     }
+    // the auto-chosen grid per op, published by the join builders — the
+    // observability hook a 100 TB operator reads before pinning bits
+    def lastBits: Int =
+      spark.conf.getOption(SpatialJoin.LAST_BITS_KEY).map(_.toInt).getOrElse(-1)
 
     val (tBox, nBox) = time(SpatialJoin.joinPointsInBoxes(pts, boxes).count())
+    val bBox = lastBits
     val (tDw, nDw) = time(SpatialJoin.dwithinJoin(pts, queries, 50000.0).count())
+    val bDw = lastBits
     val (tKnn, nKnn) = time(SpatialJoin.knnGeodesic(pts, knnQs, k = 5).count())
+    val bKnn = lastBits
 
     def rps(t: Double): Long = (n / math.max(t, 1e-9)).toLong
     println(
       s"""{"metric":"scale_smoke","n_points":$n,"ops":{""" +
-        s""""box_join":{"sec":$tBox,"pairs":$nBox,"points_per_sec":${rps(tBox)}},""" +
-        s""""dwithin_50km_1k_queries":{"sec":$tDw,"pairs":$nDw,"points_per_sec":${rps(tDw)}},""" +
-        s""""knn_geodesic_k5_200_queries":{"sec":$tKnn,"rows":$nKnn,"points_per_sec":${rps(tKnn)}}}}""")
+        s""""box_join":{"sec":$tBox,"pairs":$nBox,"points_per_sec":${rps(tBox)},"auto_bits":$bBox},""" +
+        s""""dwithin_50km_1k_queries":{"sec":$tDw,"pairs":$nDw,"points_per_sec":${rps(tDw)},"auto_bits":$bDw},""" +
+        s""""knn_geodesic_k5_200_queries":{"sec":$tKnn,"rows":$nKnn,"points_per_sec":${rps(tKnn)},"auto_bits":$bKnn}}}""")
     spark.stop()
   }
 }

@@ -132,10 +132,20 @@ object Images {
       if (spi eq jpegReaderSpi) jpegReaderTL.get() else pngReaderTL.get()
     val iis = new javax.imageio.stream.MemoryCacheImageInputStream(new ByteArrayInputStream(bytes))
     reader.setInput(iis)
-    val img = reader.read(0)
-    reader.reset()
-    iis.close()
-    img
+    try reader.read(0)
+    catch {
+      // corrupt payloads (e.g. a structurally-valid video container whose
+      // frame bytes are mangled) reject like every other bad input instead
+      // of leaking raw ImageIO exceptions
+      case scala.util.control.NonFatal(e) =>
+        throw graft.core.GeoqException(s"bad image bytes: ${e.getMessage}")
+    } finally {
+      // always restore the pooled thread-local reader — a throwing read
+      // must not leave it pointing at the stale stream
+      try reader.reset()
+      catch { case scala.util.control.NonFatal(_) => () }
+      iis.close()
+    }
   }
 
   /** 8×8 block-mean luma hash (aHash): bit i set iff block mean > global
@@ -209,6 +219,30 @@ object Images {
     // formats hash their actual stored pixels.
     val ph = phash(decode(bytes))
     ImageRow(f"img$idx%09d", bytes, w, h, fmt, caption(idx), ph)
+  }
+
+  /** MD5 of the DECODED pixel field (dims ‖ row-major RGB bytes) — an
+    * exact content id for lossless comparisons that does not depend on
+    * encoder byte determinism (q54's near-dup refine key). */
+  def pixelMd5(img: BufferedImage): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val w = img.getWidth; val h = img.getHeight
+    md.update(java.nio.ByteBuffer.allocate(8).putInt(w).putInt(h).array())
+    val row = new Array[Byte](w * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        row(3 * x) = ((rgb >> 16) & 0xFF).toByte
+        row(3 * x + 1) = ((rgb >> 8) & 0xFF).toByte
+        row(3 * x + 2) = (rgb & 0xFF).toByte
+        x += 1
+      }
+      md.update(row)
+      y += 1
+    }
+    md.digest().map(b => f"$b%02x").mkString
   }
 
   /** Peak signal-to-noise ratio between two same-size images, dB.

@@ -84,4 +84,32 @@ object Videos {
     val fs = frames(bytes)
     (0 until fs.length by k).map(i => (i, Images.decode(fs(i))))
   }
+
+  /** Id offset of planted near-duplicate twins (q54) — far above any
+    * test-scale video index, mirrored verbatim in the oracle SQL. */
+  val TWIN_OFFSET = 1000000L
+
+  /** The planted NEAR-DUPLICATE twin of a video: every frame but the LAST
+    * is decoded and re-encoded through the real ImageIO path (PNG is
+    * lossless, so the twin's decoded pixels are bit-identical to the
+    * original's — the provable-recall anchor for the q54 LSH join), then
+    * repacked into a fresh container. A "re-encoded + frame-dropped copy"
+    * in training-data-dedup terms. */
+  def twin(v: VideoRow, idx: Long): VideoRow = {
+    val fs = frames(v.bytes)
+    val n = v.n_frames - 1
+    val bos = new ByteArrayOutputStream()
+    val dos = new DataOutputStream(bos)
+    dos.writeInt(MAGIC)
+    dos.writeInt(n)
+    var f = 0
+    while (f < n) {
+      val re = Images.encode(Images.decode(fs(f)), "png")
+      dos.writeInt(re.length)
+      dos.write(re)
+      f += 1
+    }
+    dos.flush()
+    VideoRow(f"vid${idx + TWIN_OFFSET}%09d", bos.toByteArray, v.w, v.h, n, v.fps, v.caption)
+  }
 }

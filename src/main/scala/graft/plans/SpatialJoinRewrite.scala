@@ -44,20 +44,85 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   */
 object SpatialJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
-  /** 2^bits cells per axis (default 64×64 world grid like
-    * joinPointsInBoxes); tune per session with
-    * `spark.conf.set("spark.graft.spatialJoin.bits", n)` — a 100 TB point
-    * table against many small boxes wants a finer grid so each cell's
-    * candidate set stays executor-sized. */
+  /** 2^bits cells per axis. Default `auto`: derive the grid from the BOX
+    * side's sampled extents at rewrite time (the SQL mirror of
+    * `SpatialJoin.bitsForBoxes` — without it, a 100 TB point table joined
+    * against sub-degree boxes through the natural SQL predicate got the
+    * fixed 620 km-cell pathology the DataFrame API's adaptive grid fixes).
+    * Pin per session with `spark.conf.set("spark.graft.spatialJoin.bits",
+    * n)` to skip the stats job. */
   val BITS_KEY = "spark.graft.spatialJoin.bits"
-  private def bits: Int = {
-    val b = conf.getConfString(BITS_KEY, "6").toInt
-    // cap at 12: the box side chains two Generates, so a world-spanning box
-    // explodes to (2^bits)^2 cells — 2^24 ≈ 16.7M rows worst case at 12,
-    // survivable; at 20 it would be ~10^12 rows from one conf setting
-    require(b >= 1 && b <= 12, s"$BITS_KEY must be in [1,12], got $b")
+  /** Where the rule publishes the grid it actually chose (observability —
+    * same key the DataFrame API publishes). */
+  val LAST_BITS_KEY: String = graft.join.SpatialJoin.LAST_BITS_KEY
+  private val DEFAULT_BITS = 6
+
+  private def confBits: Option[Int] = conf.getConfString(BITS_KEY, "auto") match {
+    case "auto" => None
+    case s =>
+      val b = s.toInt
+      // cap at 12: the box side chains two Generates, so a world-spanning
+      // box explodes to (2^bits)^2 cells — 2^24 ≈ 16.7M rows worst case at
+      // 12, survivable; at 20 it would be ~10^12 rows from one conf setting
+      require(b >= 1 && b <= 12, s"$BITS_KEY must be in [1,12], got $b")
+      Some(b)
+  }
+
+  // memoized adaptive bits per (session, box-plan, bound-exprs): the stats
+  // sub-query is a driver-side action at OPTIMIZE time — repeated
+  // optimizations of the same join (fixed-point passes, re-planned reps)
+  // must not re-run it
+  private val bitsCache = new java.util.concurrent.ConcurrentHashMap[String, Int]()
+
+  /** The grid for one rewrite: the pinned conf value, else the sampled
+    * box-extent derivation. Both rule axes are mapped by the SAME
+    * 360°-wide [[cellIdx]], so the formula uses 360 on both (each
+    * component is ≥ the DataFrame API's lon/lat-split formula, hence the
+    * rule's adaptive grid is never coarser than `bitsForBoxes` on the same
+    * table — asserted in SpatialJoinSpec). Any stats failure (streaming
+    * child, no active session) falls back to the old fixed default. */
+  private def gridBits(boxSide: LogicalPlan, bx: Bounds, by: Bounds): Int = {
+    val b = confBits.getOrElse {
+      try {
+        val spark = SparkSession.active
+        val key = org.apache.spark.sql.graft.bridge.sessionUUID(spark) +
+          "|" + boxSide.semanticHash() +
+          "|" + Seq(bx.lower, bx.upper, by.lower, by.upper).map(_.semanticHash()).mkString(",")
+        val cached = bitsCache.get(key) // 0 = absent (real bits are >= 1)
+        if (cached != 0) cached
+        else {
+          val proj = Project(Seq(
+            Alias(Subtract(bx.upper, bx.lower), "dx")(),
+            Alias(Subtract(by.upper, by.lower), "dy")()), boxSide)
+          val row = org.apache.spark.sql.graft.bridge.ofRows(spark, proj)
+            .selectExpr(
+              "percentile_approx(dx, 0.5, 100) AS ex",
+              "percentile_approx(dy, 0.5, 100) AS ey",
+              "max(dx) AS mx", "max(dy) AS my")
+            .head()
+          val chosen =
+            if (row.isNullAt(0) || row.isNullAt(1)) DEFAULT_BITS
+            else {
+              val ex = math.max(row.getDouble(0), 1e-12)
+              val ey = math.max(row.getDouble(1), 1e-12)
+              val mx = math.max(row.getDouble(2), 1e-12)
+              val my = math.max(row.getDouble(3), 1e-12)
+              val bMedian = math.floor(
+                math.log(math.min(720.0 / ex, 720.0 / ey)) / math.log(2.0)).toInt
+              val bCap = math.floor(
+                math.log(math.min(64.0 * 360.0 / mx, 64.0 * 360.0 / my)) / math.log(2.0)).toInt
+              math.max(1, math.min(12, math.min(bMedian, bCap)))
+            }
+          bitsCache.put(key, chosen)
+          chosen
+        }
+      } catch { case scala.util.control.NonFatal(_) => DEFAULT_BITS }
+    }
+    try conf.setConfString(LAST_BITS_KEY, b.toString)
+    catch { case scala.util.control.NonFatal(_) => () }
     b
   }
+
   private val GX = "__graft_gx"
   private val GY = "__graft_gy"
 
@@ -139,13 +204,13 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         else axisBounds(conjuncts, right, left)
       if (axesL.size < 2 && axesR.size < 2) j
       else {
-        val l = 1L << bits
         val pointsOnLeft = axesL.size >= 2
         val (ptsSide, boxSide, axes) =
           if (pointsOnLeft) (left, right, axesL) else (right, left, axesR)
         // deterministic axis pick: the two bounded attributes in output order
         val Seq(xa, ya) = ptsSide.output.filter(axes.contains).take(2)
         val bx = axes(xa); val by = axes(ya)
+        val l = 1L << gridBits(boxSide, bx, by)
         // point side: one cell per row
         val pgx = Alias(cellIdx(xa, l), GX)()
         val pgy = Alias(cellIdx(ya, l), GY)()

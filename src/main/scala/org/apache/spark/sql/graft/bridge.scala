@@ -23,6 +23,14 @@ object bridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry.registerFunction(id, info, builder)
 
+  /** DataFrame over a raw logical plan (`Dataset.ofRows` is
+    * `private[sql]`) — lets an optimizer rule price a side of a join with
+    * a small stats sub-query (the adaptive-grid rewrite). */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Globally-unique id of a session (`sessionUUID` is `private[sql]`) —
     * cache keys that must never collide across sessions use this instead
     * of identity hash codes (which can recur after GC). */

@@ -150,5 +150,44 @@ class ImagesSpec extends AnyFunSuite {
         case e: Throwable => fail(s"video corruption threw ${e.getClass}")
       }
     }
+    // the FULL q52 path (parse + ImageIO decode) under payload corruption:
+    // a structurally-consistent container with mangled PNG bytes must
+    // reject with GeoqException (not a raw IIOException), and the pooled
+    // thread-local reader must stay usable for the next good decode
+    (0 until 100).foreach { _ =>
+      val b = vid.clone()
+      b(16 + rnd.nextInt(b.length - 16)) = rnd.nextInt(256).toByte // keep header
+      try { Videos.sampleFrames(b, 1); () }
+      catch {
+        case _: graft.core.GeoqException => ()
+        case e: Throwable => fail(s"decode corruption threw ${e.getClass}: ${e.getMessage}")
+      }
+      assert(Videos.sampleFrames(vid, 3).nonEmpty) // reader recovered
+    }
+  }
+
+  test("near-dup twin: re-encoded dropped-frame twin shares bit-exact decoded leading frames") {
+    import graft.img.{Images, Videos}
+    for (idx <- Seq(0L, 5L, 10L)) {
+      val v = Videos.generate(idx)
+      val t = Videos.twin(v, idx)
+      assert(t.n_frames == v.n_frames - 1)
+      assert(t.video_id == f"vid${idx + Videos.TWIN_OFFSET}%09d")
+      val vf = Videos.frames(v.bytes)
+      val tf = Videos.frames(t.bytes)
+      assert(tf.length == vf.length - 1)
+      // every shared frame position decodes to the IDENTICAL pixel field
+      // (PNG lossless — the q54 provable-recall anchor) and hence carries
+      // identical phash band keys and pixel-MD5 refine keys
+      tf.indices.foreach { i =>
+        val a = Images.decode(vf(i)); val b = Images.decode(tf(i))
+        assert(Images.psnr(a, b).isInfinite, s"frame $i pixels diverged")
+        assert(Images.phash(a) == Images.phash(b))
+        assert(Images.pixelMd5(a) == Images.pixelMd5(b))
+      }
+      // distinct frames have distinct pixel ids (refine really separates)
+      assert(Images.pixelMd5(Images.decode(vf(0))) !=
+        Images.pixelMd5(Images.decode(vf(1))))
+    }
   }
 }

@@ -337,6 +337,90 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(bb == bbFixed)
   }
 
+  test("adaptive rewrite grid: sub-degree boxes through the NATURAL join get a fine grid (>= bitsForBoxes), results exact") {
+    import spark.implicits._
+    // the q48/q56 regime: clustered points, 0.05-0.2 degree boxes — the
+    // old fixed bits=6 rewrite put the whole cluster into 1-2 620 km cells
+    val pts = spark.range(3000).map { i =>
+      (i, 2.0 * (((i * 2246822519L) % 4294967296L) / 4294967296.0),
+        2.0 * (((i * 2654435761L) % 4294967296L) / 4294967296.0))
+    }.toDF("id", "lon", "lat")
+    val boxes = spark.range(30).map { i =>
+      val x = 2.0 * (((i * 48271L) % 1024L) / 1024.0)
+      val y = 2.0 * (((i * 16807L) % 1024L) / 1024.0)
+      (i, x, y, x + 0.0625 + (i % 5) * 0.03125, y + 0.046875 + (i % 3) * 0.03125)
+    }.toDF("rid", "minx", "miny", "maxx", "maxy")
+    graft.plans.SpatialPlanner.enable(spark)
+    try {
+      assert(spark.conf.getOption(graft.plans.SpatialJoinRewrite.BITS_KEY).isEmpty)
+      val natural = pts.join(boxes,
+        col("lon") >= col("minx") && col("lon") <= col("maxx") &&
+          col("lat") >= col("miny") && col("lat") <= col("maxy"))
+      val plan = natural.queryExecution.executedPlan.toString
+      assert(!plan.contains("NestedLoopJoin"), plan)
+      assert(plan.contains("__graft_gx"), plan)
+      // the rule derived the grid from the data and published it; the
+      // SQL-surface grid is never coarser than the DataFrame API's choice
+      val ruleBits = spark.conf.get(graft.join.SpatialJoin.LAST_BITS_KEY).toInt
+      val apiBits = graft.join.SpatialJoin.bitsForBoxes(boxes)
+      assert(ruleBits >= apiBits, s"rule bits $ruleBits < api bits $apiBits")
+      assert(ruleBits > 6, s"sub-degree boxes must get a fine grid, got $ruleBits")
+      val got = natural.select("id", "rid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == graft.plans.SpatialJoinRewrite)
+      val naive = pts.join(boxes,
+        col("lon") >= col("minx") && col("lon") <= col("maxx") &&
+          col("lat") >= col("miny") && col("lat") <= col("maxy"))
+        .select("id", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == naive && got.nonEmpty)
+      // a pinned conf still wins over the adaptive path
+      graft.plans.SpatialPlanner.enable(spark)
+      spark.conf.set(graft.plans.SpatialJoinRewrite.BITS_KEY, "4")
+      try {
+        val pinned = pts.join(boxes,
+          col("lon") >= col("minx") && col("lon") <= col("maxx") &&
+            col("lat") >= col("miny") && col("lat") <= col("maxy"))
+        assert(pinned.queryExecution.executedPlan.toString.contains("__graft_gx"))
+        assert(spark.conf.get(graft.join.SpatialJoin.LAST_BITS_KEY).toInt == 4)
+        val gotP = pinned.select("id", "rid").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        assert(gotP == got)
+      } finally spark.conf.unset(graft.plans.SpatialJoinRewrite.BITS_KEY)
+    } finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == graft.plans.SpatialJoinRewrite)
+  }
+
+  test("API bits observability: auto-chosen grid is published to the session conf") {
+    import spark.implicits._
+    val pts = Seq((1L, 10.02, 45.01), (2L, -60.0, -20.0)).toDF("id", "lon", "lat")
+    val boxes = spark.range(20).map { i =>
+      val x = 10.0 + (i % 10) * 0.01
+      (i, x, 45.0 + (i % 7) * 0.01, x + 0.05, 45.0 + (i % 7) * 0.01 + 0.04)
+    }.toDF("rid", "minx", "miny", "maxx", "maxy")
+    SpatialJoin.joinPointsInBoxes(pts, boxes)
+    assert(spark.conf.get(SpatialJoin.LAST_BITS_KEY).toInt ==
+      SpatialJoin.bitsForBoxes(boxes))
+    SpatialJoin.dwithinCellJoin(pts,
+      Seq((1L, 10.0, 45.0)).toDF("qid", "qlon", "qlat"), 5000.0, SpatialJoin.AUTO_BITS)
+    assert(spark.conf.get(SpatialJoin.LAST_BITS_KEY).toInt ==
+      SpatialJoin.bitsForRadius(5000.0))
+  }
+
+  test("q54 video near-dup: banded frame-hash LSH returns exactly the planted twins; no cartesian plan") {
+    val got = Queries.q54VideoNearDup(spark, "/root/testdata/sf0.001")
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("NestedLoopJoin"), plan)
+    val rows = got.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val expected = (0L until Queries.VID_N by 5).map { i =>
+      (f"vid$i%09d", f"vid${i + graft.img.Videos.TWIN_OFFSET}%09d",
+        graft.img.Videos.frameCount(i).toLong - 1)
+    }.toSeq
+    assert(rows == expected)
+    assert(rows.size == 100)
+  }
+
   test("q50 embed near-dup: banded LSH == brute-force cosine; no cartesian product in the plan") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
