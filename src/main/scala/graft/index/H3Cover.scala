@@ -24,11 +24,19 @@ object H3Cover {
 
   private def cellOf(c: Coordinate, res: Int): Long = H3Geo.latLngToCell(c.y, c.x, res)
 
-  /** BFS over cells whose polygon intersects `g`, starting from `seed`;
-    * `keep` selects which visited intersecting cells are emitted. */
-  private def flood(g: Geometry, seed: Long, res: Int, keep: Long => Boolean): Set[Long] = {
+  /** BFS over cells whose polygon intersects `g`, starting from `seed`.
+    * `keepAll = true` emits every intersecting cell (line/superset
+    * coverings); `false` emits only cells whose CENTER is inside `g`
+    * (polyfill semantics — the center test doubles as the fast accept). */
+  private def flood(g: Geometry, seed: Long, res: Int, keepAll: Boolean): Set[Long] = {
     val prep = PreparedGeometryFactory.prepare(g)
     val env = g.getEnvelopeInternal
+    // center-point fast accept only for AREAL queries: center ∈ g implies
+    // the cell intersects g, and for the interior-cell majority of a
+    // polyfill the point-contains is far cheaper than constructing the
+    // split cell geometry and running the polygon intersects (a line
+    // almost never contains a point — the test would be pure waste there)
+    val areal = g.getDimension == 2
     val seen = scala.collection.mutable.Set[Long](seed)
     val queue = scala.collection.mutable.Queue[Long](seed)
     val out = scala.collection.mutable.Set[Long]()
@@ -56,12 +64,18 @@ object H3Cover {
       val mayHit = (maxLon - minLon > 180.0) ||
         !(maxLon < env.getMinX || minLon > env.getMaxX ||
           maxLat < env.getMinY || minLat > env.getMaxY)
-      // split geometry: cells straddling ±180 (or a pole) test correctly
-      // against planar query geometry instead of wrapping the whole map
-      if (mayHit && prep.intersects(H3Geo.cellGeometrySplitCached(cell))) {
-        if (keep(cell)) out += cell
-        H3Geo.neighbors(cell).foreach { n =>
-          if (!seen.contains(n)) { seen += n; queue += n }
+      if (mayHit) {
+        val centerIn = areal && {
+          val (la, ln) = H3Geo.cellToLatLng(cell)
+          prep.contains(H3Geo.gf.createPoint(new Coordinate(ln, la)))
+        }
+        // split geometry: cells straddling ±180 (or a pole) test correctly
+        // against planar query geometry instead of wrapping the whole map
+        if (centerIn || prep.intersects(H3Geo.cellGeometrySplitCached(cell))) {
+          if (keepAll || centerIn) out += cell
+          H3Geo.neighbors(cell).foreach { n =>
+            if (!seen.contains(n)) { seen += n; queue += n }
+          }
         }
       }
     }
@@ -71,7 +85,7 @@ object H3Cover {
   /** Line flood-fill: all cells whose hexagon intersects the linestring. */
   def lineCells(ls: LineString, res: Int): Set[Long] = {
     if (ls.isEmpty) return Set.empty
-    flood(ls, cellOf(ls.getCoordinateN(0), res), res, _ => true)
+    flood(ls, cellOf(ls.getCoordinateN(0), res), res, keepAll = true)
   }
 
   /** Polyfill: cells whose center lies inside the polygon (holes respected).
@@ -80,12 +94,7 @@ object H3Cover {
     * the polygon side is the small broadcast side, never the scan side. */
   def polygonCells(poly: Polygon, res: Int): Set[Long] = {
     if (poly.isEmpty) return Set.empty
-    val prep = PreparedGeometryFactory.prepare(poly)
-    val seed = cellOf(poly.getExteriorRing.getCoordinateN(0), res)
-    flood(poly, seed, res, { cell =>
-      val (lat, lng) = H3Geo.cellToLatLng(cell)
-      prep.contains(H3Geo.gf.createPoint(new Coordinate(lng, lat)))
-    })
+    flood(poly, cellOf(poly.getExteriorRing.getCoordinateN(0), res), res, keepAll = false)
   }
 
   /** ALL cells whose hexagon intersects the geometry — the SUPERSET
@@ -94,7 +103,7 @@ object H3Cover {
     * results; this can only over-generate, and the exact predicate refines). */
   def intersectingCells(g: Geometry, res: Int): Set[Long] = {
     if (g.isEmpty) return Set.empty
-    flood(g, cellOf(g.getCoordinate, res), res, _ => true)
+    flood(g, cellOf(g.getCoordinate, res), res, keepAll = true)
   }
 
   /** Covering of any geometry the reference accepts; GeometryCollection is
@@ -165,14 +174,14 @@ object H3Cover {
     while (queue.nonEmpty) {
       val grp = queue.dequeue()
       val rels = grp.cells.map { cell =>
-        val inter = prep.intersects(H3Geo.cellGeometrySplitCached(cell))
-        // a center inside g implies the cell intersects g, so gating the
-        // point test on `inter` is semantically identical and skips the
-        // guaranteed-false test on the frontier cells
-        val cenIn = inter && {
+        // point test FIRST: a center inside g implies the cell intersects
+        // g, so the cheap contains doubles as the fast accept and the
+        // expensive split-geometry intersects only runs on frontier cells
+        val cenIn = {
           val (la, ln) = H3Geo.cellToLatLng(cell)
           prep.contains(H3Geo.gf.createPoint(new Coordinate(ln, la)))
         }
+        val inter = cenIn || prep.intersects(H3Geo.cellGeometrySplitCached(cell))
         (cell, inter, cenIn)
       }
       if (grp.res > minRes && rels.forall(_._3) && grp.parent.isDefined)

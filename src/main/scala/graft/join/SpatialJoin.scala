@@ -90,7 +90,7 @@ object SpatialJoin {
 
   private def bitsForBoxSides(sides: DataFrame*): Int = {
     val key = memoKey(sides: _*)
-    val cached = bitsCache.get(key)
+    val cached = bitsCache.get(key) // absent unboxes to 0; real bits are >= 1
     if (cached != 0) return cached
     val union = sides.zipWithIndex.map { case (df, i) =>
       df.select(lit(i).as("side"),

@@ -179,6 +179,68 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("streaming video near-dup vs a static frame corpus matches the planted twins") {
+    // the multimodal incremental-ingest shape: new VIDEOS arrive as a
+    // stream and are checked against an existing corpus with the SAME
+    // banded frame-phash LSH as q54 — a stream-static equi-join on
+    // (band, leading-frame phash), never all-pairs. The refine is
+    // ROW-LOCAL (per-video pixel-MD5 arrays compared positionally), so the
+    // whole pipeline is append-mode legal: no streaming aggregation state.
+    import spark.implicits._
+    import graft.img.{Images, Videos}
+    val n = 60L
+    def features(v: graft.img.VideoRow): (String, Int, Long, Long, Seq[String]) = {
+      val imgs = Videos.frames(v.bytes).map(Images.decode)
+      (v.video_id, v.n_frames, Images.phash(imgs(0)), Images.phash(imgs(1)),
+        imgs.map(Images.pixelMd5).toSeq)
+    }
+    val corpus = (0L until n).map(i => features(Videos.generate(i)))
+      .toDF("corpus_id", "cnf", "ch0", "ch1", "cpixs")
+    val corpusB = Seq((0, "ch0"), (1, "ch1")).map { case (b, c) =>
+      corpus.select(col("corpus_id"), col("cnf"), col("cpixs"),
+        lit(b).as("band"), col(c).as("bkey"))
+    }.reduce(_ unionByName _)
+
+    val twins = (0L until n by 5).map(i => features(Videos.twin(Videos.generate(i), i)))
+      .toDF("vid", "nf", "h0", "h1", "pixs")
+    val streamDir = java.nio.file.Files.createTempDirectory("video_stream")
+    twins.filter(substring(col("vid"), -1, 1).cast("int") % 2 === 0)
+      .write.mode("overwrite").parquet(streamDir.resolve("b0").toString)
+    twins.filter(substring(col("vid"), -1, 1).cast("int") % 2 === 1)
+      .write.mode("overwrite").parquet(streamDir.resolve("b1").toString)
+    val arrivals = spark.readStream.schema(twins.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(streamDir.toString)
+    val arrivalsB = Seq((0, "h0"), (1, "h1")).map { case (b, c) =>
+      arrivals.select(col("vid"), col("nf"), col("pixs"),
+        lit(b).as("band"), col(c).as("bkey"))
+    }.reduce(_ unionByName _)
+
+    val shared = udf((a: Seq[String], b: Seq[String]) =>
+      a.zip(b).count { case (x, y) => x == y }.toLong)
+    val joined = arrivalsB.join(corpusB, Seq("band", "bkey"))
+      .withColumn("n_shared", shared(col("pixs"), col("cpixs")))
+      .filter(col("n_shared") * 4 >= greatest(col("nf"), col("cnf")) * 3)
+      .select(col("vid"), col("corpus_id"), col("n_shared"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("video_neardup").start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    // a pair colliding in both bands is emitted twice (append mode) —
+    // distinct at the consumer, like any idempotent sink key
+    val streamed = spark.table("video_neardup")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .distinct.sorted.toSeq
+    val planted = (0L until n by 5).map { i =>
+      (f"vid${i + Videos.TWIN_OFFSET}%09d", f"vid$i%09d",
+        Videos.frameCount(i).toLong - 1)
+    }.sorted.toSeq
+    assert(streamed == planted)
+    assert(streamed.size == (n / 5 + (if (n % 5 == 0) 0 else 1)))
+  }
+
   test("streaming embedding near-dup vs a static corpus matches the planted pairs") {
     // the incremental-ingest dedup shape at 100 TB: new vectors ARRIVE as a
     // stream and are checked against the existing corpus via the SAME
