@@ -761,14 +761,17 @@ object Queries {
   @volatile private var anchorsWritten = false
   private val anchorLock = new Object
 
+  /** Best-effort recursive delete, safe under a concurrent writer of the
+    * same tree (walk/delete races surface as IO exceptions — swallowed;
+    * the caller's retry loop re-checks the protocol state). */
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import java.nio.file.Files
-    if (Files.exists(p)) {
+    try if (Files.exists(p)) {
       val s = Files.walk(p)
       try s.sorted(java.util.Comparator.reverseOrder())
         .forEach(q => Files.deleteIfExists(q))
       finally s.close()
-    }
+    } catch { case scala.util.control.NonFatal(_) => () }
   }
 
   private def imgAnchors(spark: SparkSession): DataFrame = {
@@ -783,13 +786,26 @@ object Queries {
             .map(r => (r.image_id, r.phash, Images.anchorLon(r.phash), Images.anchorLat(r.phash)))
             .toDF("image_id", "phash", "lon", "lat")
             .write.mode("overwrite").parquet(tmp.toString)
-          deleteRecursively(fin) // crashed partial (no _SUCCESS) or absent
-          try Files.move(tmp, fin, StandardCopyOption.ATOMIC_MOVE)
-          catch {
-            case _: java.nio.file.FileSystemException
-                if Files.exists(fin.resolve("_SUCCESS")) =>
-              deleteRecursively(tmp) // lost the race to an identical copy
+          // publish loop: NEVER delete a directory carrying _SUCCESS (a
+          // complete copy another JVM may already be reading — re-checked
+          // immediately before the delete, not just at entry, so a racer
+          // that published during our multi-second write is respected);
+          // only marker-less crashed partials are cleared. Losing the
+          // rename race just means identical bytes were published first.
+          var done = false
+          var attempts = 0
+          while (!done && attempts < 3) {
+            attempts += 1
+            if (Files.exists(fin.resolve("_SUCCESS"))) {
+              deleteRecursively(tmp)
+              done = true
+            } else {
+              deleteRecursively(fin)
+              try { Files.move(tmp, fin, StandardCopyOption.ATOMIC_MOVE); done = true }
+              catch { case _: java.nio.file.FileSystemException => () } // raced; re-check
+            }
           }
+          if (!done) deleteRecursively(tmp) // a complete fin exists by now
         }
         anchorsWritten = true
       }

@@ -138,7 +138,11 @@ object Images {
       // frame bytes are mangled) reject like every other bad input instead
       // of leaking raw ImageIO exceptions
       case scala.util.control.NonFatal(e) =>
-        throw graft.core.GeoqException(s"bad image bytes: ${e.getMessage}")
+        // keep the original class name: several decoder failure modes carry
+        // a null message, and a fleet-wide systematic failure must stay
+        // diagnosable from task logs
+        throw graft.core.GeoqException(
+          s"bad image bytes: ${e.getClass.getSimpleName}: ${e.getMessage}")
     } finally {
       // always restore the pooled thread-local reader — a throwing read
       // must not leave it pointing at the stale stream

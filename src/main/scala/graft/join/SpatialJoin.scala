@@ -53,26 +53,40 @@ object SpatialJoin {
     * never explodes past ~64 cells/axis (a world-spanning straggler in a
     * mostly-tiny table pins the grid back to the old 64×64 worst case
     * instead of 2^24 cells from one row). Clamped [1, 12] (degenerate /
-    * point boxes would otherwise demand unbounded resolution). */
-  def bitsFromExtents(ex0: Double, ey0: Double, mx0: Double, my0: Double): Int = {
+    * point boxes would otherwise demand unbounded resolution).
+    *
+    * `spanX`/`spanY` are the world extents the grid divides per axis —
+    * (360, 180) for this API's lon/lat-split grid; the Catalyst rewrite
+    * passes (360, 360) because both its axes use the 360°-wide cell map.
+    * ONE formula serves both call sites so the "rule grid is never coarser
+    * than bitsForBoxes" invariant can't drift (each rule component with
+    * spanY=360 dominates the API's spanY=180 component). */
+  def bitsFromExtents(ex0: Double, ey0: Double, mx0: Double, my0: Double,
+                      spanX: Double = 360.0, spanY: Double = 180.0): Int = {
     val ex = math.max(ex0, 1e-12); val ey = math.max(ey0, 1e-12)
     val mx = math.max(mx0, 1e-12); val my = math.max(my0, 1e-12)
-    val bMedian = math.floor(math.log(math.min(720.0 / ex, 360.0 / ey)) / math.log(2.0)).toInt
+    val bMedian = math.floor(
+      math.log(math.min(2.0 * spanX / ex, 2.0 * spanY / ey)) / math.log(2.0)).toInt
     // explode cap: cell ≥ maxExtent/64 on both axes
     val bCap = math.floor(
-      math.log(math.min(64.0 * 360.0 / mx, 64.0 * 180.0 / my)) / math.log(2.0)).toInt
+      math.log(math.min(64.0 * spanX / mx, 64.0 * spanY / my)) / math.log(2.0)).toInt
     math.max(1, math.min(12, math.min(bMedian, bCap)))
   }
 
-  // memoized auto-bits per (session UUID, analyzed-plan semantic hash):
-  // the stats job is a driver-side action at plan-build time, so repeated
-  // joins over the same table (bench reps, multi-join pipelines) must not
-  // re-price it. Values are plain Ints — no eviction work.
+  // memoized auto-bits per analyzed-plan semantic hash: the stats job is a
+  // driver-side action at plan-build time, so repeated joins over the same
+  // table (bench reps, multi-join pipelines, per-call child sessions) must
+  // not re-price it. Keyed by PLAN, not session — the bits are a pure
+  // function of the data the plan identifies, so cross-session reuse is
+  // correct (a table rewritten in place between queries serves stale bits
+  // until the cache turns over: cost-only, the superset refine is
+  // unaffected). Entry cap: cleared wholesale past 4096 (entries are two
+  // ints; recompute is one bounded agg — simpler than LRU bookkeeping).
   private val bitsCache = new java.util.concurrent.ConcurrentHashMap[String, Int]()
+  private[graft] val BITS_CACHE_CAP = 4096
 
   private def memoKey(dfs: DataFrame*): String =
-    org.apache.spark.sql.graft.bridge.sessionUUID(dfs.head.sparkSession) +
-      dfs.map(df => "|" + df.queryExecution.analyzed.semanticHash()).mkString
+    dfs.map(df => df.queryExecution.analyzed.semanticHash()).mkString("|")
 
   /** The grid matched to one or two BOX tables ([[bitsFromExtents]] over
     * per-side stats; two sides take the COARSER choice, which keeps the
@@ -109,6 +123,7 @@ object SpatialJoin {
         case _ => 6 // empty side
       }
     }.min
+    if (bitsCache.size >= BITS_CACHE_CAP) bitsCache.clear()
     bitsCache.put(key, b)
     b
   }
@@ -352,15 +367,23 @@ object SpatialJoin {
     }
     if (!remaining.isEmpty) {
       // sparse stragglers: one final WORLD-radius round through the SAME
-      // cell-keyed path — the cap boxes span the globe, so candidates are
-      // provably complete (no per-query completeness check needed) and the
-      // join family keeps zero full-scan crossJoin code paths. The few
-      // remaining queries explode to the coarse world grid's cells only
-      // (bitsForRadius clamps low → 2×2), so the pairs job is the same
-      // shape as a round, not a dedicated scan.
-      // AUTO grid regardless of the caller's round-grid pin: a fine pinned
-      // grid at world radius would explode each query to 2^bits^2 cells
-      val world = dwithinPairs(points, remaining, WORLD_METERS, AUTO_BITS)
+      // cell-keyed path — each query's cap box spans the globe, so the
+      // cell join pairs every point with every remaining query exactly
+      // once (provably complete; no per-query check needed) and the join
+      // family keeps zero full-scan crossJoin code paths. The box/radius
+      // refines are deliberately SKIPPED here: the world box excludes
+      // nothing in-domain, and skipping it keeps out-of-domain
+      // coordinates (e.g. a [0,360) longitude convention — cellCols
+      // clamps them onto boundary cells, Vincenty's trig is periodic) in
+      // the candidate set, exactly like the brute-force round this
+      // replaces. AUTO grid regardless of the caller's round-grid pin: a
+      // fine pinned grid at world radius would explode each query to
+      // 2^bits×2^bits cells (bitsForRadius clamps low → 2×2 world cells).
+      val vin = udf((lon: Double, lat: Double, qlon: Double, qlat: Double) =>
+        graft.geom.Vincenty.distanceFixed(lon, lat, qlon, qlat))
+      val world = dwithinCellJoin(points, remaining, WORLD_METERS, AUTO_BITS)
+        .withColumn("meters", vin(col("lon"), col("lat"), col("qlon"), col("qlat")))
+        .select(col("id"), col("qid"), col("meters"))
       acc = Some(acc.map(_.unionByName(topk(world))).getOrElse(topk(world)))
     }
     // typed empty result when the query side is empty (a zero-column

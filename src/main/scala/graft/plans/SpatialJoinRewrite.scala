@@ -45,10 +45,11 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
 object SpatialJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   /** 2^bits cells per axis. Default `auto`: derive the grid from the BOX
-    * side's sampled extents at rewrite time (the SQL mirror of
+    * side's extents at rewrite time (the SQL mirror of
     * `SpatialJoin.bitsForBoxes` — without it, a 100 TB point table joined
     * against sub-degree boxes through the natural SQL predicate got the
-    * fixed 620 km-cell pathology the DataFrame API's adaptive grid fixes).
+    * fixed 620 km-cell pathology the DataFrame API's adaptive grid fixes);
+    * a box side estimated above [[STATS_MAX_BYTES]] skips the stats job.
     * Pin per session with `spark.conf.set("spark.graft.spatialJoin.bits",
     * n)` to skip the stats job. */
   val BITS_KEY = "spark.graft.spatialJoin.bits"
@@ -68,53 +69,64 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       Some(b)
   }
 
-  // memoized adaptive bits per (session, box-plan, bound-exprs): the stats
+  // memoized adaptive bits per (box-plan, bound-exprs): the stats
   // sub-query is a driver-side action at OPTIMIZE time — repeated
-  // optimizations of the same join (fixed-point passes, re-planned reps)
-  // must not re-run it
+  // optimizations of the same join (fixed-point passes, bench reps, the
+  // per-call child sessions q43/q51/q56 create) must not re-run it. Keyed
+  // by plan, not session: the bits are a pure function of the data the
+  // plan identifies (a hash collision or an in-place rewrite serves stale
+  // bits — cost-only, the kept original predicate decides membership).
+  // Cleared wholesale past the cap (tiny entries; recompute is bounded).
   private val bitsCache = new java.util.concurrent.ConcurrentHashMap[String, Int]()
+  private val BITS_CACHE_CAP = 4096
 
-  /** The grid for one rewrite: the pinned conf value, else the sampled
-    * box-extent derivation. Both rule axes are mapped by the SAME
-    * 360°-wide [[cellIdx]], so the formula uses 360 on both (each
-    * component is ≥ the DataFrame API's lon/lat-split formula, hence the
-    * rule's adaptive grid is never coarser than `bitsForBoxes` on the same
-    * table — asserted in SpatialJoinSpec). Any stats failure (streaming
-    * child, no active session) falls back to the old fixed default. */
+  /** Planning-cost guard: the adaptive stats job prices a pruned-column
+    * agg over the box side, which is unbounded for arbitrary user SQL —
+    * above this logical-stats size the rule skips the job and keeps the
+    * fixed default (pin [[BITS_KEY]] to tune such joins explicitly). */
+  private val STATS_MAX_BYTES = BigInt(256L << 20)
+
+  /** The grid for one rewrite: the pinned conf value, else the box-extent
+    * derivation over the (small) box side. Both rule axes are mapped by
+    * the SAME 360°-wide [[cellIdx]], so the shared formula
+    * `SpatialJoin.bitsFromExtents` is called with spanX = spanY = 360
+    * (each component then dominates the DataFrame API's lon/lat-split
+    * call, hence the rule's adaptive grid is never coarser than
+    * `bitsForBoxes` on the same table — asserted in SpatialJoinSpec).
+    * Guards: a box side whose logical-plan size estimate exceeds
+    * [[STATS_MAX_BYTES]] skips the stats job (bounded planning time for
+    * arbitrary SQL — the old fixed grid still plans, just less tuned),
+    * and any stats failure (streaming child, no active session) falls
+    * back the same way. */
   private def gridBits(boxSide: LogicalPlan, bx: Bounds, by: Bounds): Int = {
     val b = confBits.getOrElse {
       try {
-        val spark = SparkSession.active
-        val key = org.apache.spark.sql.graft.bridge.sessionUUID(spark) +
-          "|" + boxSide.semanticHash() +
-          "|" + Seq(bx.lower, bx.upper, by.lower, by.upper).map(_.semanticHash()).mkString(",")
-        val cached = bitsCache.get(key) // 0 = absent (real bits are >= 1)
-        if (cached != 0) cached
+        if (boxSide.stats.sizeInBytes > STATS_MAX_BYTES) DEFAULT_BITS
         else {
-          val proj = Project(Seq(
-            Alias(Subtract(bx.upper, bx.lower), "dx")(),
-            Alias(Subtract(by.upper, by.lower), "dy")()), boxSide)
-          val row = org.apache.spark.sql.graft.bridge.ofRows(spark, proj)
-            .selectExpr(
-              "percentile_approx(dx, 0.5, 100) AS ex",
-              "percentile_approx(dy, 0.5, 100) AS ey",
-              "max(dx) AS mx", "max(dy) AS my")
-            .head()
-          val chosen =
-            if (row.isNullAt(0) || row.isNullAt(1)) DEFAULT_BITS
-            else {
-              val ex = math.max(row.getDouble(0), 1e-12)
-              val ey = math.max(row.getDouble(1), 1e-12)
-              val mx = math.max(row.getDouble(2), 1e-12)
-              val my = math.max(row.getDouble(3), 1e-12)
-              val bMedian = math.floor(
-                math.log(math.min(720.0 / ex, 720.0 / ey)) / math.log(2.0)).toInt
-              val bCap = math.floor(
-                math.log(math.min(64.0 * 360.0 / mx, 64.0 * 360.0 / my)) / math.log(2.0)).toInt
-              math.max(1, math.min(12, math.min(bMedian, bCap)))
-            }
-          bitsCache.put(key, chosen)
-          chosen
+          val key = boxSide.semanticHash() +
+            "|" + Seq(bx.lower, bx.upper, by.lower, by.upper).map(_.semanticHash()).mkString(",")
+          val cached = bitsCache.get(key) // 0 = absent (real bits are >= 1)
+          if (cached != 0) cached
+          else {
+            val spark = SparkSession.active
+            val proj = Project(Seq(
+              Alias(Subtract(bx.upper, bx.lower), "dx")(),
+              Alias(Subtract(by.upper, by.lower), "dy")()), boxSide)
+            val row = org.apache.spark.sql.graft.bridge.ofRows(spark, proj)
+              .selectExpr(
+                "percentile_approx(dx, 0.5, 100) AS ex",
+                "percentile_approx(dy, 0.5, 100) AS ey",
+                "max(dx) AS mx", "max(dy) AS my")
+              .head()
+            val chosen =
+              if (row.isNullAt(0) || row.isNullAt(1)) DEFAULT_BITS
+              else graft.join.SpatialJoin.bitsFromExtents(
+                row.getDouble(0), row.getDouble(1), row.getDouble(2), row.getDouble(3),
+                spanX = 360.0, spanY = 360.0)
+            if (bitsCache.size >= BITS_CACHE_CAP) bitsCache.clear()
+            bitsCache.put(key, chosen)
+            chosen
+          }
         }
       } catch { case scala.util.control.NonFatal(_) => DEFAULT_BITS }
     }
