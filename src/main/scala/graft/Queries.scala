@@ -1300,7 +1300,7 @@ object Queries {
     val cover = udf((cell: Long, res: Int) => {
       import graft.index.{H3Cover, H3Geo}
       val selfCover = H3Cover.polygonCells(H3Geo.cellPolygon(cell), res)
-      val n = H3Geo.neighbors(cell).head
+      val n = H3Geo.neighborsCached(cell).head
       val (cla, cln) = H3Geo.cellToLatLng(cell)
       val (nla, nln) = H3Geo.cellToLatLng(n)
       val line = Geo.factory.createLineString(Array(

@@ -73,7 +73,7 @@ object H3Cover {
         // against planar query geometry instead of wrapping the whole map
         if (centerIn || prep.intersects(H3Geo.cellGeometrySplitCached(cell))) {
           if (keepAll || centerIn) out += cell
-          H3Geo.neighbors(cell).foreach { n =>
+          H3Geo.neighborsCached(cell).foreach { n =>
             if (!seen.contains(n)) { seen += n; queue += n }
           }
         }

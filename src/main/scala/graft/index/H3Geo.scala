@@ -340,6 +340,22 @@ object H3Geo {
     g
   }
 
+  private val neighborsTL =
+    ThreadLocal.withInitial[Lru[Long, Seq[Long]]](() => new Lru(256))
+
+  /** [[neighbors]] through the per-thread memo: the flood BFS calls it for
+    * every intersecting cell, and the lattice step (decode → unit-step →
+    * overage → re-encode ×6) is measurably half the flood's per-cell
+    * constant; consecutive floods on one row (polyfill then line cover)
+    * revisit the same frontier cells. Same thread-confinement rules as the
+    * boundary memo; the returned Seq is immutable. */
+  def neighborsCached(cell: Long): Seq[Long] = {
+    val m = neighborsTL.get()
+    var n = m.get(cell)
+    if (n == null) { n = neighbors(cell); m.put(cell, n) }
+    n
+  }
+
   /** [[cellGeometrySplit]] from a boundary already in hand — the flood's
     * hot path computes the boundary once for the envelope pre-filter and
     * reuses it here. */
