@@ -49,7 +49,7 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     * `SpatialJoin.bitsForBoxes` — without it, a 100 TB point table joined
     * against sub-degree boxes through the natural SQL predicate got the
     * fixed 620 km-cell pathology the DataFrame API's adaptive grid fixes);
-    * a box side estimated above [[STATS_MAX_BYTES]] skips the stats job.
+    * a box side estimated above [[STATS_MAX_BYTES_KEY]] skips the stats job.
     * Pin per session with `spark.conf.set("spark.graft.spatialJoin.bits",
     * n)` to skip the stats job. */
   val BITS_KEY = "spark.graft.spatialJoin.bits"
@@ -83,8 +83,12 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   /** Planning-cost guard: the adaptive stats job prices a pruned-column
     * agg over the box side, which is unbounded for arbitrary user SQL —
     * above this logical-stats size the rule skips the job and keeps the
-    * fixed default (pin [[BITS_KEY]] to tune such joins explicitly). */
-  private val STATS_MAX_BYTES = BigInt(256L << 20)
+    * fixed default (pin [[BITS_KEY]] to tune such joins explicitly).
+    * Conf-tunable: a deployment whose box dimension tables legitimately
+    * exceed the default 256 MB raises it instead of pinning bits. */
+  val STATS_MAX_BYTES_KEY = "spark.graft.spatialJoin.statsMaxBytes"
+  private def statsMaxBytes: BigInt =
+    BigInt(conf.getConfString(STATS_MAX_BYTES_KEY, (256L << 20).toString).toLong)
 
   /** The grid for one rewrite: the pinned conf value, else the box-extent
     * derivation over the (small) box side. Both rule axes are mapped by
@@ -94,14 +98,14 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     * call, hence the rule's adaptive grid is never coarser than
     * `bitsForBoxes` on the same table — asserted in SpatialJoinSpec).
     * Guards: a box side whose logical-plan size estimate exceeds
-    * [[STATS_MAX_BYTES]] skips the stats job (bounded planning time for
+    * [[STATS_MAX_BYTES_KEY]] skips the stats job (bounded planning time for
     * arbitrary SQL — the old fixed grid still plans, just less tuned),
     * and any stats failure (streaming child, no active session) falls
     * back the same way. */
   private def gridBits(boxSide: LogicalPlan, bx: Bounds, by: Bounds): Int = {
     val b = confBits.getOrElse {
       try {
-        if (boxSide.stats.sizeInBytes > STATS_MAX_BYTES) DEFAULT_BITS
+        if (boxSide.stats.sizeInBytes > statsMaxBytes) DEFAULT_BITS
         else {
           val key = boxSide.semanticHash() +
             "|" + Seq(bx.lower, bx.upper, by.lower, by.upper).map(_.semanticHash()).mkString(",")

@@ -49,4 +49,32 @@ object TableIO {
     spark.read.parquet(dir)
       .filter(col(lonCol) >= minLon && col(lonCol) <= maxLon &&
         col(latCol) >= minLat && col(latCol) <= maxLat)
+
+  /** The engine's grid cell for (lonCol, latCol) packed into ONE long key
+    * (cx·2^bits + cy) — the same clamped monotone map as
+    * `SpatialJoin.cellCols`, in bucketing-key form. */
+  def cellKeyCol(lonCol: String, latCol: String, bits: Int): org.apache.spark.sql.Column = {
+    val (cx, cy) = graft.join.SpatialJoin.cellCols(col(lonCol), col(latCol), bits)
+    cx.cast("long") * (1L << bits) + cy.cast("long")
+  }
+
+  /** Write an EXTERNAL Parquet table BUCKETED (and sorted) by the packed
+    * grid-cell key. Co-located spatial joins: two tables written with the
+    * same (bits, buckets) hash their cell keys into aligned buckets, so a
+    * join on `cell` plans with NO Exchange on either side (Spark's
+    * bucketing-aware scan) — the storage layout for REPEATED cell joins at
+    * 100 TB, where re-shuffling the point table per join is the dominant
+    * cost the one-shot `SpatialJoin` operators pay. The cell column also
+    * serves single-cell predicates via bucket pruning. Asserted
+    * shuffle-free in TableIOSpec. */
+  def writeBucketedByCell(df: DataFrame, tableName: String, path: String,
+                          lonCol: String, latCol: String,
+                          bits: Int, buckets: Int): Unit =
+    df.withColumn("cell", cellKeyCol(lonCol, latCol, bits))
+      .write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(buckets, "cell")
+      .sortBy("cell")
+      .format("parquet")
+      .saveAsTable(tableName)
 }

@@ -44,4 +44,44 @@ class TableIOSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(lon"))
   }
+
+  test("cell-bucketed tables join co-located: zero Exchange in the plan, results exact") {
+    import spark.implicits._
+    // two point snapshots bucketed by the SAME (bits, buckets) cell key —
+    // the repeated-join storage layout: at 100 TB, re-shuffling the point
+    // table on every join is the dominant cost this avoids
+    val a = spark.range(4000).map { i =>
+      (i, -170.0 + (i % 337).toDouble + (i % 13) * 0.07,
+        -80.0 + (i % 157).toDouble + (i % 11) * 0.05)
+    }.toDF("id", "lon", "lat")
+    val b = spark.range(3000).map { i =>
+      (i, -170.0 + ((i * 7) % 337).toDouble + (i % 17) * 0.05,
+        -80.0 + ((i * 11) % 157).toDouble + (i % 7) * 0.06)
+    }.toDF("rid", "lon", "lat")
+    val dirA = Files.createTempDirectory("bucketed_a").toString
+    val dirB = Files.createTempDirectory("bucketed_b").toString
+    TableIO.writeBucketedByCell(a, "bkt_a", dirA, "lon", "lat", bits = 6, buckets = 8)
+    TableIO.writeBucketedByCell(b.withColumnRenamed("rid", "id"), "bkt_b", dirB,
+      "lon", "lat", bits = 6, buckets = 8)
+    try {
+      // force a sort-merge join so the assertion is about BUCKETING, not a
+      // broadcast that would hide the shuffle question entirely
+      val ta = spark.table("bkt_a").select(col("id").as("ida"), col("cell"))
+      val tb = spark.table("bkt_b").select(col("id").as("idb"), col("cell"))
+      val joined = ta.join(tb.hint("merge"), Seq("cell"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan) // co-located: no shuffle either side
+      val got = joined.select("ida", "idb").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      // ground truth: the same cell join computed from the raw frames
+      val key = TableIO.cellKeyCol("lon", "lat", 6)
+      val plain = a.withColumn("cell", key).select(col("id").as("ida"), col("cell"))
+        .join(b.withColumn("cell", key).select(col("rid").as("idb"), col("cell")), Seq("cell"))
+        .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == plain && got.nonEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+    }
+  }
 }
