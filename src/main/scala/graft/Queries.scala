@@ -761,16 +761,23 @@ object Queries {
   @volatile private var anchorsWritten = false
   private val anchorLock = new Object
 
-  /** Best-effort recursive delete, safe under a concurrent writer of the
-    * same tree (walk/delete races surface as IO exceptions — swallowed;
-    * the caller's retry loop re-checks the protocol state). */
+  /** Best-effort recursive delete. The _SUCCESS marker is removed FIRST
+    * (the plain reverse-lexicographic walk deletes part-files before
+    * '_SUCCESS', so an aborted delete could otherwise leave a
+    * marker-bearing directory missing data files — which the publish
+    * protocol would trust forever); once the marker is gone, any abort
+    * leaves a marker-less partial the protocol correctly treats as
+    * crashed. */
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import java.nio.file.Files
-    try if (Files.exists(p)) {
-      val s = Files.walk(p)
-      try s.sorted(java.util.Comparator.reverseOrder())
-        .forEach(q => Files.deleteIfExists(q))
-      finally s.close()
+    try {
+      Files.deleteIfExists(p.resolve("_SUCCESS"))
+      if (Files.exists(p)) {
+        val s = Files.walk(p)
+        try s.sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => Files.deleteIfExists(q))
+        finally s.close()
+      }
     } catch { case scala.util.control.NonFatal(_) => () }
   }
 
@@ -786,26 +793,55 @@ object Queries {
             .map(r => (r.image_id, r.phash, Images.anchorLon(r.phash), Images.anchorLat(r.phash)))
             .toDF("image_id", "phash", "lon", "lat")
             .write.mode("overwrite").parquet(tmp.toString)
-          // publish loop: NEVER delete a directory carrying _SUCCESS (a
-          // complete copy another JVM may already be reading — re-checked
-          // immediately before the delete, not just at entry, so a racer
-          // that published during our multi-second write is respected);
-          // only marker-less crashed partials are cleared. Losing the
-          // rename race just means identical bytes were published first.
+          // Cross-JVM publish protocol: a directory carrying _SUCCESS is
+          // complete and immutable; only marker-less crashed partials may
+          // be cleared, and ONLY under the exclusive lock file (atomic
+          // createFile), so check-then-delete is mutually excluded — a
+          // racer that published during our multi-second write is seen
+          // under the lock and never deleted out from under its readers.
+          // A stale lock (crashed holder) is broken after 120 s. If the
+          // loop times out without publishing or finding a complete copy,
+          // FAIL LOUDLY instead of silently reading a partial (the tmp
+          // copy is kept for diagnosis).
+          val lock = Paths.get(ANCHORS_PATH + ".lock")
+          def tryLock(): Boolean =
+            try { Files.createFile(lock); true }
+            catch {
+              case _: java.nio.file.FileAlreadyExistsException =>
+                try {
+                  val age = System.currentTimeMillis() -
+                    Files.getLastModifiedTime(lock).toMillis
+                  if (age > 120000L) Files.deleteIfExists(lock)
+                } catch { case scala.util.control.NonFatal(_) => () }
+                false
+              case scala.util.control.NonFatal(_) => false
+            }
           var done = false
-          var attempts = 0
-          while (!done && attempts < 3) {
-            attempts += 1
+          val deadline = System.currentTimeMillis() + 120000L
+          while (!done && System.currentTimeMillis() < deadline) {
             if (Files.exists(fin.resolve("_SUCCESS"))) {
               deleteRecursively(tmp)
               done = true
-            } else {
-              deleteRecursively(fin)
-              try { Files.move(tmp, fin, StandardCopyOption.ATOMIC_MOVE); done = true }
-              catch { case _: java.nio.file.FileSystemException => () } // raced; re-check
-            }
+            } else if (tryLock()) {
+              try {
+                if (Files.exists(fin.resolve("_SUCCESS"))) deleteRecursively(tmp)
+                else {
+                  deleteRecursively(fin) // marker-less crashed partial
+                  Files.move(tmp, fin, StandardCopyOption.ATOMIC_MOVE)
+                }
+                done = true
+              } catch {
+                case scala.util.control.NonFatal(_) => () // re-loop; tmp kept
+              } finally {
+                try Files.deleteIfExists(lock)
+                catch { case scala.util.control.NonFatal(_) => () }
+              }
+            } else Thread.sleep(200L)
           }
-          if (!done) deleteRecursively(tmp) // a complete fin exists by now
+          if (!done)
+            throw graft.core.GeoqException(
+              s"could not publish anchor table to $ANCHORS_PATH " +
+                s"(lock contention or undeletable partial; tmp kept at $tmp)")
         }
         anchorsWritten = true
       }

@@ -82,8 +82,24 @@ object SpatialJoin {
   // until the cache turns over: cost-only, the superset refine is
   // unaffected). Entry cap: cleared wholesale past 4096 (entries are two
   // ints; recompute is one bounded agg — simpler than LRU bookkeeping).
-  private val bitsCache = new java.util.concurrent.ConcurrentHashMap[String, Int]()
-  private[graft] val BITS_CACHE_CAP = 4096
+  private[graft] object BitsMemo {
+    private val m = new java.util.concurrent.ConcurrentHashMap[String, Int]()
+    private[graft] val CAP = 4096
+    /** Memoize a bits choice (>= 1) by key; cleared wholesale past the cap
+        (entries are two ints; recompute is one bounded agg — simpler than
+        LRU bookkeeping). Shared by the DataFrame API and the Catalyst
+        rewrite so the cache semantics cannot drift between them. */
+    def getOrCompute(key: String)(f: => Int): Int = {
+      val cached = m.get(key) // absent unboxes to 0; real bits are >= 1
+      if (cached != 0) cached
+      else {
+        val b = f
+        if (m.size >= CAP) m.clear()
+        m.put(key, b)
+        b
+      }
+    }
+  }
 
   private def memoKey(dfs: DataFrame*): String =
     dfs.map(df => df.queryExecution.analyzed.semanticHash()).mkString("|")
@@ -97,15 +113,16 @@ object SpatialJoin {
     * made the chosen grid (and the plan's cost) vary run to run, and the
     * box/query side of these joins is the SMALL side by contract (the
     * 100 TB point side is never scanned here), so the pass prices like a
-    * `count()` with map-side partial aggregation. Memoized per (session,
-    * plan); callers with a genuinely huge box side pass `bits` explicitly
-    * and skip the job entirely. Falls back to 6 for an empty side. */
+    * `count()` with map-side partial aggregation. Memoized per analyzed
+    * PLAN (process-wide — the bits are a pure function of the data the
+    * plan identifies; an in-place table rewrite serves stale bits until
+    * the cache turns over, cost-only); callers with a genuinely huge box
+    * side pass `bits` explicitly and skip the job entirely. Falls back to
+    * 6 for an empty side. */
   def bitsForBoxes(boxes: DataFrame): Int = bitsForBoxSides(boxes)
 
-  private def bitsForBoxSides(sides: DataFrame*): Int = {
-    val key = memoKey(sides: _*)
-    val cached = bitsCache.get(key) // absent unboxes to 0; real bits are >= 1
-    if (cached != 0) return cached
+  private def bitsForBoxSides(sides: DataFrame*): Int =
+    BitsMemo.getOrCompute(memoKey(sides: _*)) {
     val union = sides.zipWithIndex.map { case (df, i) =>
       df.select(lit(i).as("side"),
         (col("maxx") - col("minx")).as("dx"), (col("maxy") - col("miny")).as("dy"))
@@ -123,8 +140,6 @@ object SpatialJoin {
         case _ => 6 // empty side
       }
     }.min
-    if (bitsCache.size >= BITS_CACHE_CAP) bitsCache.clear()
-    bitsCache.put(key, b)
     b
   }
 
@@ -266,17 +281,21 @@ object SpatialJoin {
     * dedicated full-scan code path. */
   val WORLD_METERS: Double = 2.5e7
 
+  /** The exact geodesic kernel as a UDF — ONE definition shared by the
+    * radius rounds' refine and the kNN world round, so the two paths can
+    * never diverge. */
+  private val vinUdf = udf((lon: Double, lat: Double, qlon: Double, qlat: Double) =>
+    graft.geom.Vincenty.distanceFixed(lon, lat, qlon, qlat))
+
   /** [[dwithinJoin]] candidates + exact Vincenty refine, keeping the
     * distance: (id, qid, meters) with meters < the cutoff. Shared by the
     * geofence join and the geodesic kNN's radius rounds. */
   private[join] def dwithinPairs(points: DataFrame, queries: DataFrame,
                                  meters: Double, bits: Int): DataFrame = {
-    val vin = udf((lon: Double, lat: Double, qlon: Double, qlat: Double) =>
-      graft.geom.Vincenty.distanceFixed(lon, lat, qlon, qlat))
     dwithinCellJoin(points, queries, meters, bits)
       .filter(col("lon") >= col("minx") && col("lon") <= col("maxx") &&
         col("lat") >= col("miny") && col("lat") <= col("maxy"))
-      .withColumn("meters", vin(col("lon"), col("lat"), col("qlon"), col("qlat")))
+      .withColumn("meters", vinUdf(col("lon"), col("lat"), col("qlon"), col("qlat")))
       .filter(col("meters") < meters)
       .select(col("id"), col("qid"), col("meters"))
   }
@@ -379,10 +398,8 @@ object SpatialJoin {
       // replaces. AUTO grid regardless of the caller's round-grid pin: a
       // fine pinned grid at world radius would explode each query to
       // 2^bits×2^bits cells (bitsForRadius clamps low → 2×2 world cells).
-      val vin = udf((lon: Double, lat: Double, qlon: Double, qlat: Double) =>
-        graft.geom.Vincenty.distanceFixed(lon, lat, qlon, qlat))
       val world = dwithinCellJoin(points, remaining, WORLD_METERS, AUTO_BITS)
-        .withColumn("meters", vin(col("lon"), col("lat"), col("qlon"), col("qlat")))
+        .withColumn("meters", vinUdf(col("lon"), col("lat"), col("qlon"), col("qlat")))
         .select(col("id"), col("qid"), col("meters"))
       acc = Some(acc.map(_.unionByName(topk(world))).getOrElse(topk(world)))
     }

@@ -69,16 +69,15 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       Some(b)
   }
 
-  // memoized adaptive bits per (box-plan, bound-exprs): the stats
-  // sub-query is a driver-side action at OPTIMIZE time — repeated
-  // optimizations of the same join (fixed-point passes, bench reps, the
-  // per-call child sessions q43/q51/q56 create) must not re-run it. Keyed
-  // by plan, not session: the bits are a pure function of the data the
-  // plan identifies (a hash collision or an in-place rewrite serves stale
-  // bits — cost-only, the kept original predicate decides membership).
-  // Cleared wholesale past the cap (tiny entries; recompute is bounded).
-  private val bitsCache = new java.util.concurrent.ConcurrentHashMap[String, Int]()
-  private val BITS_CACHE_CAP = 4096
+  // adaptive bits are memoized per (box-plan, bound-exprs) in the SHARED
+  // graft.join.SpatialJoin.BitsMemo (one cache semantics for the DataFrame
+  // API and this rule): the stats sub-query is a driver-side action at
+  // OPTIMIZE time — repeated optimizations of the same join (fixed-point
+  // passes, bench reps, the per-call child sessions q43/q51/q56 create)
+  // must not re-run it. Keyed by plan, not session: the bits are a pure
+  // function of the data the plan identifies (a hash collision or an
+  // in-place rewrite serves stale bits — cost-only, the kept original
+  // predicate decides membership).
 
   /** Planning-cost guard: the adaptive stats job prices a pruned-column
     * agg over the box side, which is unbounded for arbitrary user SQL —
@@ -87,8 +86,17 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     * Conf-tunable: a deployment whose box dimension tables legitimately
     * exceed the default 256 MB raises it instead of pinning bits. */
   val STATS_MAX_BYTES_KEY = "spark.graft.spatialJoin.statsMaxBytes"
-  private def statsMaxBytes: BigInt =
-    BigInt(conf.getConfString(STATS_MAX_BYTES_KEY, (256L << 20).toString).toLong)
+  private def statsMaxBytes: BigInt = {
+    val s = conf.getConfString(STATS_MAX_BYTES_KEY, (256L << 20).toString)
+    // validate LOUDLY (like BITS_KEY): evaluated before gridBits' NonFatal
+    // fallback, so a malformed value (e.g. a "1g" suffix) fails the query
+    // instead of silently pinning every join to the fixed default grid
+    try BigInt(s.toLong)
+    catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"$STATS_MAX_BYTES_KEY must be a plain byte count, got '$s'")
+    }
+  }
 
   /** The grid for one rewrite: the pinned conf value, else the box-extent
     * derivation over the (small) box side. Both rule axes are mapped by
@@ -103,15 +111,14 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     * and any stats failure (streaming child, no active session) falls
     * back the same way. */
   private def gridBits(boxSide: LogicalPlan, bx: Bounds, by: Bounds): Int = {
+    val maxBytes = statsMaxBytes // validated OUTSIDE the fallback catch
     val b = confBits.getOrElse {
       try {
-        if (boxSide.stats.sizeInBytes > statsMaxBytes) DEFAULT_BITS
+        if (boxSide.stats.sizeInBytes > maxBytes) DEFAULT_BITS
         else {
-          val key = boxSide.semanticHash() +
+          val key = "rule|" + boxSide.semanticHash() +
             "|" + Seq(bx.lower, bx.upper, by.lower, by.upper).map(_.semanticHash()).mkString(",")
-          val cached = bitsCache.get(key) // 0 = absent (real bits are >= 1)
-          if (cached != 0) cached
-          else {
+          graft.join.SpatialJoin.BitsMemo.getOrCompute(key) {
             val spark = SparkSession.active
             val proj = Project(Seq(
               Alias(Subtract(bx.upper, bx.lower), "dx")(),
@@ -122,14 +129,10 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
                 "percentile_approx(dy, 0.5, 100) AS ey",
                 "max(dx) AS mx", "max(dy) AS my")
               .head()
-            val chosen =
-              if (row.isNullAt(0) || row.isNullAt(1)) DEFAULT_BITS
-              else graft.join.SpatialJoin.bitsFromExtents(
-                row.getDouble(0), row.getDouble(1), row.getDouble(2), row.getDouble(3),
-                spanX = 360.0, spanY = 360.0)
-            if (bitsCache.size >= BITS_CACHE_CAP) bitsCache.clear()
-            bitsCache.put(key, chosen)
-            chosen
+            if (row.isNullAt(0) || row.isNullAt(1)) DEFAULT_BITS
+            else graft.join.SpatialJoin.bitsFromExtents(
+              row.getDouble(0), row.getDouble(1), row.getDouble(2), row.getDouble(3),
+              spanX = 360.0, spanY = 360.0)
           }
         }
       } catch { case scala.util.control.NonFatal(_) => DEFAULT_BITS }
