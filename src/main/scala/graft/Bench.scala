@@ -68,7 +68,18 @@ object Bench {
       else "\"" + n + "\":[" + v.min + "," + v.max + "]"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"reps":$REPS,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"reps":$REPS,"sf":"$sfDir"}"""
+    println(json)
+    // ALSO persist the line: harness wrappers (sbt) append their own footer
+    // lines after main returns, so a last-line parse of captured stdout
+    // fails — the file is the machine-readable copy of the same JSON.
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("GEOQ_BENCH_OUT", "BENCH/last_bench.json"))
+      if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.writeString(out, json + "\n")
+    } catch { case scala.util.control.NonFatal(_) => () }
     spark.stop()
   }
 }
