@@ -76,6 +76,7 @@ object SparkEntry {
     "q54_video_neardup" -> (Queries.q54VideoNearDup _),
     "q55_topdown_cover" -> (Queries.q55TopdownCover _),
     "q56_natural_small" -> (Queries.q56NaturalSmall _),
+    "q57_bucketed_join" -> (Queries.q57BucketedJoin _),
   )
 
   // ---------------- oracle SQL ----------------
@@ -705,6 +706,24 @@ object SparkEntry {
          |SELECT id, rid FROM cpts JOIN b
          |ON lon >= minx AND lon <= maxx AND lat >= miny AND lat <= maxy
          |ORDER BY id, rid""".stripMargin,
+
+    // the bucketed-storage round-trip: the oracle recomputes the packed
+    // grid-cell key with the shared floor arithmetic (identical float op
+    // order) and replays the co-located join in SQL — any row lost or
+    // re-keyed in the write→bucket→read→join path diverges the counts
+    "q57_bucketed_join" -> {
+      def cellSql: String = {
+        val l = 1L << Queries.BKT_BITS
+        val cx = s"GREATEST(LEAST(CAST(floor(((lon + 180.0) / 360.0) * $l.0) AS BIGINT), ${l - 1}), 0)"
+        val cy = s"GREATEST(LEAST(CAST(floor(((lat + 90.0) / 180.0) * $l.0) AS BIGINT), ${l - 1}), 0)"
+        s"($cx * $l + $cy)"
+      }
+      s"""WITH $P,
+         |c AS (SELECT id, $cellSql AS cell FROM pts)
+         |SELECT a.cell, count(*) AS n_pairs
+         |FROM c a JOIN c b ON a.cell = b.cell AND b.id % 3 = 0
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "q47_box_join" ->
       s"""WITH $P,
