@@ -70,11 +70,21 @@ object TableIO {
   def writeBucketedByCell(df: DataFrame, tableName: String, path: String,
                           lonCol: String, latCol: String,
                           bits: Int, buckets: Int): Unit =
-    df.withColumn("cell", cellKeyCol(lonCol, latCol, bits))
-      .write.mode("overwrite")
+    writeBucketedBy(df.withColumn("cell", cellKeyCol(lonCol, latCol, bits)),
+      tableName, path, "cell", buckets)
+
+  /** Generic bucketed external-table writer. Besides co-located joins,
+    * bucketing serves BUCKET PRUNING: an equality/IN predicate on the
+    * bucket column scans only the matching buckets — the storage form of
+    * the IVF ANN scale path (vectors bucketed by coarse centroid; a query
+    * probing nprobe centroids reads nprobe/buckets of the table instead
+    * of a full scan; TableIOSpec asserts `SelectedBucketsCount`). */
+  def writeBucketedBy(df: DataFrame, tableName: String, path: String,
+                      bucketCol: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
       .option("path", path)
-      .bucketBy(buckets, "cell")
-      .sortBy("cell")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(tableName)
 }
