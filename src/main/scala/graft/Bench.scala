@@ -79,7 +79,12 @@ object Bench {
         sys.env.getOrElse("GEOQ_BENCH_OUT", "BENCH/last_bench.json"))
       if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.writeString(out, json + "\n")
-    } catch { case scala.util.control.NonFatal(_) => () }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        // warn loudly: a silent failure would leave a STALE previous-run
+        // file that downstream parsing treats as this run's results
+        System.err.println(s"[bench] WARNING: could not persist bench JSON: $e")
+    }
     spark.stop()
   }
 }

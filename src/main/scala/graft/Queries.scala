@@ -700,8 +700,17 @@ object Queries {
 
   // one bucketed-table pair per (session, dir): the writes are a Spark
   // job, so they run once per key (builders execute outside the cache
-  // monitor) and every bench rep / repeated call reuses the tables
-  private val bucketedCache = new SessionCache[(String, String)](8, _ => ())
+  // monitor) and every bench rep / repeated call reuses the tables.
+  // Eviction DROPS the catalog tables and deletes the temp parquet copies
+  // (each entry holds two copies of the point table on disk — a no-op
+  // evictor would leak both plus the stale catalog registrations).
+  private val bucketedCache =
+    new SessionCache[(SparkSession, String, String, java.nio.file.Path)](8, {
+      case (sess, na, nb, base) =>
+        try { sess.sql(s"DROP TABLE IF EXISTS $na"); sess.sql(s"DROP TABLE IF EXISTS $nb") }
+        catch { case scala.util.control.NonFatal(_) => () }
+        deleteRecursively(base)
+    })
 
   val BKT_BITS = 6
   val BKT_BUCKETS = 8
@@ -717,11 +726,19 @@ object Queries {
     * point of the layout) is asserted in TableIOSpec; this gate pins the
     * results. */
   def q57BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
-    val (ta, tb) = bucketedCache.getOrElseUpdate(
+    val (_, ta, tb, _) = bucketedCache.getOrElseUpdate(
       s"${org.apache.spark.sql.graft.bridge.sessionUUID(spark)}|$dir", {
-        val suffix = java.lang.Long.toHexString(
-          scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
-        val base = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+        // table names carry BOTH a dir digest and a session digest: the
+        // catalog is shared across sessions of one context, so names
+        // scoped only by dir would let two sessions overwrite each
+        // other's tables (and a dir-hash collision would silently serve
+        // the wrong dir's data to the hash gate)
+        def digest(x: String): String =
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(x.getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString
+        val suffix = digest(dir) + "_" +
+          digest(org.apache.spark.sql.graft.bridge.sessionUUID(spark))
+        val base = java.nio.file.Files.createTempDirectory("graft_bkt")
         val a = pts(spark, dir)
         val b = a.filter(col("id") % 3 === 0)
         val na = s"bkt57_a_$suffix"; val nb = s"bkt57_b_$suffix"
@@ -729,7 +746,7 @@ object Queries {
           a, na, s"$base/a", "lon", "lat", BKT_BITS, BKT_BUCKETS)
         graft.sources.TableIO.writeBucketedByCell(
           b, nb, s"$base/b", "lon", "lat", BKT_BITS, BKT_BUCKETS)
-        (na, nb)
+        (spark, na, nb, base)
       })
     spark.table(ta).select(col("cell"))
       .join(spark.table(tb).select(col("cell")), Seq("cell"))

@@ -102,8 +102,7 @@ class TableIOSpec extends AnyFunSuite {
     val assigned = emb.join(broadcast(cents))
       .withColumn("cdot", dot(col("v"), col("cv")))
       .groupBy(col("vec_id"))
-      .agg(max_by(col("cent_id"), struct(col("cdot"), (-col("cent_id")).as("nc"))).as("bucket"),
-        first(col("v")).as("v"))
+      .agg(max_by(col("cent_id"), struct(col("cdot"), (-col("cent_id")).as("nc"))).as("bucket"))
       .select(col("vec_id"), col("bucket").cast("int").as("bucket"))
     val path = java.nio.file.Files.createTempDirectory("ivf_bkt").toString
     TableIO.writeBucketedBy(assigned, "ivf_vecs", path, "bucket", 16)
