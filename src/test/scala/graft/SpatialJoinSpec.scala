@@ -391,6 +391,49 @@ class SpatialJoinSpec extends AnyFunSuite {
       spark.experimental.extraOptimizations.filterNot(_ == graft.plans.SpatialJoinRewrite)
   }
 
+  test("adaptive rewrite guards: oversized box side keeps the fixed grid; malformed conf fails loudly") {
+    import spark.implicits._
+    val pts = spark.range(500).map(i =>
+      (i, (i % 337).toDouble - 170.0, (i % 157).toDouble - 80.0)).toDF("id", "lon", "lat")
+    val boxes = Seq((1L, 9.0, 44.0, 11.0, 46.0), (2L, -100.0, -50.0, -60.0, 0.0))
+      .toDF("rid", "minx", "miny", "maxx", "maxy")
+    graft.plans.SpatialPlanner.enable(spark)
+    try {
+      // size guard: with the stats budget forced to 1 byte every box side
+      // is "too big" — the rewrite still fires but on the fixed default
+      // grid, bounding planning cost for arbitrary SQL
+      spark.conf.set(graft.plans.SpatialJoinRewrite.STATS_MAX_BYTES_KEY, "1")
+      val guarded = pts.join(boxes,
+        col("lon") >= col("minx") && col("lon") <= col("maxx") &&
+          col("lat") >= col("miny") && col("lat") <= col("maxy"))
+      assert(guarded.queryExecution.executedPlan.toString.contains("__graft_gx"))
+      assert(spark.conf.get(graft.join.SpatialJoin.LAST_BITS_KEY).toInt == 6)
+      val got = guarded.select("id", "rid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      spark.conf.unset(graft.plans.SpatialJoinRewrite.STATS_MAX_BYTES_KEY)
+      val unguarded = pts.join(boxes,
+        col("lon") >= col("minx") && col("lon") <= col("maxx") &&
+          col("lat") >= col("miny") && col("lat") <= col("maxy"))
+        .select("id", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == unguarded && got.nonEmpty)
+      // malformed conf must fail the query loudly (a silent fallback would
+      // pin every join to the fixed grid — the opposite of the tuning)
+      spark.conf.set(graft.plans.SpatialJoinRewrite.STATS_MAX_BYTES_KEY, "1g")
+      val bad = intercept[Exception] {
+        pts.join(boxes,
+          col("lon") >= col("minx") && col("lon") <= col("maxx") &&
+            col("lat") >= col("miny") && col("lat") <= col("maxy"))
+          .queryExecution.executedPlan
+      }
+      assert(bad.getMessage != null &&
+        bad.getMessage.contains("statsMaxBytes"), bad.getMessage)
+    } finally {
+      spark.conf.unset(graft.plans.SpatialJoinRewrite.STATS_MAX_BYTES_KEY)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == graft.plans.SpatialJoinRewrite)
+    }
+  }
+
   test("API bits observability: auto-chosen grid is published to the session conf") {
     import spark.implicits._
     val pts = Seq((1L, 10.02, 45.01), (2L, -60.0, -20.0)).toDF("id", "lon", "lat")
