@@ -318,37 +318,58 @@ object Queries {
     * pins stopped sessions' caches forever; the cap counts entries, not
     * sessions, so it sits well above any realistic (session × dir) working
     * set. Eviction is best-effort (a stopped context makes unpersist
-    * throw; NonFatal swallowed; a value evicted before its first use is
-    * never unpersisted — bounded, benign).
+    * throw; NonFatal swallowed).
     *
     * The builder `f` runs OUTSIDE the map monitor, via a per-key lazy
     * holder: the map lock only covers the get/put of the holder, so a slow
     * builder (driver-side parquet listing, plan analysis) blocks only
-    * same-key callers — unrelated keys never serialize on each other. */
+    * same-key callers — unrelated keys never serialize on each other.
+    * `onEvict` ALSO runs outside the monitor (evictions drain into a
+    * pending list under the lock and execute after release): an evictor
+    * that runs Spark jobs or deletes files must not block every unrelated
+    * cache user for its duration. A holder evicted WHILE another thread is
+    * still computing its value is marked instead of leaked: whichever
+    * thread completes the value then runs onEvict on it exactly once (the
+    * caller still gets the value — merely no longer cached/persisted). */
   private[graft] final class SessionCache[V](cap: Int, onEvict: V => Unit) {
     private final class Holder(f: () => V) {
       lazy val value: V = f() // at most once; same-key callers block here
-      @volatile var forced = false
+      var forced = false  // value known computed  (guarded by m.synchronized)
+      var evicted = false // evicted from the map  (guarded by m.synchronized)
+      var cleaned = false // onEvict already ran   (guarded by m.synchronized)
     }
+    private var pending: List[Holder] = Nil // guarded by m.synchronized
     private val m = new java.util.LinkedHashMap[String, Holder](cap * 2, 0.75f, true) {
       override def removeEldestEntry(e: java.util.Map.Entry[String, Holder]): Boolean =
         if (size > cap) {
           val h = e.getValue
-          if (h.forced) {
-            try onEvict(h.value)
-            catch { case scala.util.control.NonFatal(_) => () }
-          }
+          h.evicted = true
+          // a not-yet-forced holder may still be computing (or was never
+          // used): its completing thread sees `evicted` and cleans up
+          if (h.forced && !h.cleaned) { h.cleaned = true; pending ::= h }
           true
         } else false
     }
+    private def runEvict(h: Holder): Unit =
+      try onEvict(h.value)
+      catch { case scala.util.control.NonFatal(_) => () }
     def getOrElseUpdate(k: String, f: => V): V = {
+      var toEvict: List[Holder] = Nil
       val h = m.synchronized {
         val cur = m.get(k)
-        if (cur != null) cur
-        else { val nh = new Holder(() => f); m.put(k, nh); nh }
+        val res =
+          if (cur != null) cur
+          else { val nh = new Holder(() => f); m.put(k, nh); nh }
+        toEvict = pending; pending = Nil
+        res
       }
-      val v = h.value
-      h.forced = true
+      toEvict.foreach(runEvict) // outside the monitor
+      val v = h.value           // builder outside the monitor
+      val cleanNow = m.synchronized {
+        h.forced = true
+        if (h.evicted && !h.cleaned) { h.cleaned = true; true } else false
+      }
+      if (cleanNow) runEvict(h) // evicted mid-compute: clean up the orphan
       v
     }
   }
@@ -522,11 +543,19 @@ object Queries {
       sigs.select(col("vec_id"), lit(b).as("band"),
         shiftright(col("sig"), b * 8).bitwiseAND(lit(255L)).as("bkey"))
     }.reduce(_ unionByName _)
+    // candidate-count observability (the round-5 stride fix changed the
+    // hyperplane values, hence the band keys, hence this count — a silent
+    // cost lever): CollectMetrics rides the existing pass (no extra job);
+    // Bench/QBench print `q50_band_rows` (pre-dedup banded-join rows, the
+    // priced cost) and `q50_cand_pairs` (pairs entering the exact refine)
+    // per run, so candidate growth is measured, not guessed.
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .observe("q50_band_rows", count(lit(1)).as("rows"))
       .distinct()
+      .observe("q50_cand_pairs", count(lit(1)).as("pairs"))
     // refine: NATIVE zip_with/aggregate dot product (whole-stage codegen,
     // no per-pair Seq boxing — a UDF here cost ~6× on skewed band buckets)
     // summing in array order, exactly like the oracle's list_dot_product;
@@ -701,15 +730,25 @@ object Queries {
   // one bucketed-table pair per (session, dir): the writes are a Spark
   // job, so they run once per key (builders execute outside the cache
   // monitor) and every bench rep / repeated call reuses the tables.
-  // Eviction DROPS the catalog tables and deletes the temp parquet copies
-  // (each entry holds two copies of the point table on disk — a no-op
-  // evictor would leak both plus the stale catalog registrations).
+  // Eviction DROPS the catalog tables (runs outside the cache monitor —
+  // SessionCache drains evictors after releasing the lock, so the DROP's
+  // Spark command never blocks unrelated cache users) and DEFERS the
+  // on-disk deletion to JVM exit: a q57 scan already executing against the
+  // evicted entry in another thread must not have its parquet files yanked
+  // mid-read, and the temp copies are bounded (≤ cap entries × 2 tables).
+  private val deferredDeletes = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val deleteHookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var p = deferredDeletes.poll()
+      while (p != null) { deleteRecursively(p); p = deferredDeletes.poll() }
+    }))
   private val bucketedCache =
     new SessionCache[(SparkSession, String, String, java.nio.file.Path)](8, {
       case (sess, na, nb, base) =>
         try { sess.sql(s"DROP TABLE IF EXISTS $na"); sess.sql(s"DROP TABLE IF EXISTS $nb") }
         catch { case scala.util.control.NonFatal(_) => () }
-        deleteRecursively(base)
+        deleteHookInstalled
+        deferredDeletes.add(base)
     })
 
   val BKT_BITS = 6
@@ -1098,18 +1137,33 @@ object Queries {
 
   // ---------------- entity pipeline / munge / simplify ----------------
 
-  /** json munge through the full heuristic path; integer coords keep the
-    * output string oracle-reconstructable. */
+  /** json munge through ALL FOUR ordered heuristics (ref `commands/json.rs:
+    * 61-130`): id % 4 picks the branch — 0: lat/lon number keys, 1: WKT
+    * string under `wkt`, 2: GeoJSON geometry STRING under `geojson`,
+    * 3: GeoJSON geometry OBJECT under `geometry`. Every branch normalizes
+    * to the identical Point feature (JTS coords are doubles whatever the
+    * input's lexical form), so ONE oracle expression gates all four; the
+    * `branch` tag column row-represents each heuristic in the gate.
+    * Integer coords keep the output string oracle-reconstructable. */
   def q31Munge(spark: SparkSession, dir: String): DataFrame = {
     val mungeUdf = udf((line: String) => graft.ops.Munge.mungeLine(line))
+    val tail = concat(lit("\"name\": \"evt"), col("id"), lit("\"}"))
     pts(spark, dir)
       .withColumn("loni", col("id") % 360 - 180)
       .withColumn("lati", col("id") % 180 - 90)
-      .withColumn("line", concat(lit("{\"lat\": "), col("lati"),
-        lit(", \"lon\": "), col("loni"),
-        lit(", \"name\": \"evt"), col("id"), lit("\"}")))
+      .withColumn("branch", col("id") % 4)
+      .withColumn("line",
+        when(col("branch") === 0, concat(lit("{\"lat\": "), col("lati"),
+          lit(", \"lon\": "), col("loni"), lit(", "), tail))
+        .when(col("branch") === 1, concat(lit("{\"wkt\": \"POINT ("),
+          col("loni"), lit(" "), col("lati"), lit(")\", "), tail))
+        .when(col("branch") === 2, concat(
+          lit("{\"geojson\": \"{\\\"type\\\": \\\"Point\\\", \\\"coordinates\\\": ["),
+          col("loni"), lit(", "), col("lati"), lit("]}\", "), tail))
+        .otherwise(concat(lit("{\"geometry\": {\"type\": \"Point\", \"coordinates\": ["),
+          col("loni"), lit(", "), col("lati"), lit("]}, "), tail)))
       .withColumn("feature", mungeUdf(col("line")))
-      .select("id", "feature").orderBy("id")
+      .select("id", "branch", "feature").orderBy("id")
   }
 
   /** Full sniff → parse → convert path on WKT lines (format detection,

@@ -369,9 +369,10 @@ object SparkEntry {
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
-    "q31_munge" ->
+    "q31_munge" -> // all four heuristics normalize to the SAME feature string
       s"""WITH $P
-         |SELECT id, '{"geometry":{"coordinates":[' || ((id % 360) - 180) || '.0,'
+         |SELECT id, id % 4 AS branch,
+         |  '{"geometry":{"coordinates":[' || ((id % 360) - 180) || '.0,'
          |  || ((id % 180) - 90) || '.0],"type":"Point"},"properties":{"name":"evt' || id
          |  || '"},"type":"Feature"}' AS feature
          |FROM pts ORDER BY id""".stripMargin,

@@ -16,10 +16,13 @@ import org.apache.spark.sql.expressions.Window
   * predicate. Candidate generation is a pure superset step — cell-assignment
   * float edges can NOT change results, only costs.
   *
-  * kNN follows the grid-ring pattern: 3×3 neighbor-cell candidates, local
-  * top-k, then an exactness check (kth distance strictly inside the
-  * guaranteed-complete radius) with a brute-force fallback for the few
-  * queries that fail it — exact results, bounded worst case, no iteration.
+  * kNN (planar and geodesic) follows the radius-round pattern: gather all
+  * points strictly within the current radius through the cell-keyed join,
+  * declare a query complete once it holds ≥ k of them (every excluded
+  * point is provably farther than the kth candidate), escalate the radius
+  * for the rest, and finish stragglers with a world-radius round through
+  * the SAME cell path — exact at every schedule, and no full-scan
+  * crossJoin code path anywhere in the join family.
   */
 object SpatialJoin {
 
@@ -73,36 +76,86 @@ object SpatialJoin {
     math.max(1, math.min(12, math.min(bMedian, bCap)))
   }
 
-  // memoized auto-bits per analyzed-plan semantic hash: the stats job is a
+  // memoized auto-bits per analyzed-plan key: the stats job is a
   // driver-side action at plan-build time, so repeated joins over the same
   // table (bench reps, multi-join pipelines, per-call child sessions) must
   // not re-price it. Keyed by PLAN, not session — the bits are a pure
   // function of the data the plan identifies, so cross-session reuse is
   // correct (a table rewritten in place between queries serves stale bits
-  // until the cache turns over: cost-only, the superset refine is
-  // unaffected). Entry cap: cleared wholesale past 4096 (entries are two
-  // ints; recompute is one bounded agg — simpler than LRU bookkeeping).
-  private[graft] object BitsMemo {
+  // until [[BitsMemo.clear]] or cache turnover: cost-only, the superset
+  // refine is unaffected).
+  /** Deployment surface for the auto-bits memo shared by the DataFrame API
+    * and the Catalyst rewrite (ONE cache semantics for both): `clear()`
+    * after an in-place table rewrite forces the next join to re-derive its
+    * grid; `size`/`hitCount`/`missCount` are the observability counters
+    * (also published per lookup to the active session's
+    * `spark.graft.spatialJoin.bitsMemo.{hits,misses}` confs, the
+    * [[SpatialJoin.LAST_BITS_KEY]] pattern). Entries are cleared wholesale
+    * past [[CAP]] — two ints per entry and a bounded agg to recompute, so
+    * wholesale is simpler than LRU bookkeeping. */
+  object BitsMemo {
     private val m = new java.util.concurrent.ConcurrentHashMap[String, Int]()
+    private val hits = new java.util.concurrent.atomic.AtomicLong()
+    private val misses = new java.util.concurrent.atomic.AtomicLong()
     private[graft] val CAP = 4096
-    /** Memoize a bits choice (>= 1) by key; cleared wholesale past the cap
-        (entries are two ints; recompute is one bounded agg — simpler than
-        LRU bookkeeping). Shared by the DataFrame API and the Catalyst
-        rewrite so the cache semantics cannot drift between them. */
-    def getOrCompute(key: String)(f: => Int): Int = {
+    val HITS_KEY = "spark.graft.spatialJoin.bitsMemo.hits"
+    val MISSES_KEY = "spark.graft.spatialJoin.bitsMemo.misses"
+    def size: Int = m.size
+    def hitCount: Long = hits.get
+    def missCount: Long = misses.get
+    /** Drop every memoized grid choice (use after rewriting a table in
+      * place, so the next join re-runs the stats job on the new data). */
+    def clear(): Unit = m.clear()
+    private def publishCounters(): Unit =
+      try org.apache.spark.sql.SparkSession.getActiveSession.foreach { s =>
+        s.conf.set(HITS_KEY, hits.get.toString)
+        s.conf.set(MISSES_KEY, misses.get.toString)
+      } catch { case scala.util.control.NonFatal(_) => () }
+    /** Memoize a bits choice (>= 1) by key. */
+    private[graft] def getOrCompute(key: String)(f: => Int): Int = {
       val cached = m.get(key) // absent unboxes to 0; real bits are >= 1
-      if (cached != 0) cached
-      else {
-        val b = f
-        if (m.size >= CAP) m.clear()
-        m.put(key, b)
-        b
-      }
+      val b =
+        if (cached != 0) { hits.incrementAndGet(); cached }
+        else {
+          misses.incrementAndGet()
+          val v = f
+          if (m.size >= CAP) m.clear()
+          m.put(key, v)
+          v
+        }
+      publishCounters()
+      b
     }
   }
 
+  /** 32-bit plan semantic hashes collide across unrelated plans at memo
+    * scale (the ADVICE finding: a collision silently serves another
+    * table's grid — cost-only but undiagnosable at 100 TB), so the key
+    * pairs the hash with an MD5 over the canonicalized plan tree PLUS the
+    * file-source root paths (the canonical treeString of a parquet scan
+    * omits its location — two tables with identical schemas would
+    * otherwise digest identically and ride on the 32-bit hash alone).
+    * Same-path re-reads keep identical keys (measured), so bench reps and
+    * repeated pipelines still hit; an in-place overwrite ALSO keeps the
+    * key — the documented stale-bits case [[BitsMemo.clear]] exists for. */
+  private[graft] def planDigest(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
+  private[graft] def planKey(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): String = {
+    val paths = p.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.mkString(",")
+          case other => other.toString
+        }
+    }.mkString(";")
+    s"${p.semanticHash()}:${planDigest(p.canonicalized.treeString + "|" + paths)}"
+  }
+
   private def memoKey(dfs: DataFrame*): String =
-    dfs.map(df => df.queryExecution.analyzed.semanticHash()).mkString("|")
+    dfs.map(df => planKey(df.queryExecution.analyzed)).mkString("|")
 
   /** The grid matched to one or two BOX tables ([[bitsFromExtents]] over
     * per-side stats; two sides take the COARSER choice, which keeps the
@@ -409,77 +462,111 @@ object SpatialJoin {
       .select(col("qid"), lit(1).as("rank"), col("qid").as("neighbor_id")))
   }
 
-  /** Exact kNN of `queries` (query_id, qlon, qlat) among `points`
-    * (id, lon, lat) under squared-euclidean-degrees, ties by id.
-    * Returns (query_id, rank, neighbor_id, dist2), rank 1..k. */
-  def knn(points: DataFrame, queries: DataFrame, k: Int, bits: Int = 6): DataFrame = {
-    val l = 1L << bits
-    val cellW = 360.0 / l
-    val cellH = 180.0 / l
+  /** The planar analog of [[bitsForRadius]]: the finest world grid whose
+    * lon cell width (360/2^bits) still covers the 2·deg candidate box of a
+    * degree-radius `deg` round, so a query box explodes to ≤ ~3 cells per
+    * axis while each cell holds only points within O(deg). Same [1, 12]
+    * clamp (degenerate radii would demand unbounded resolution; world
+    * radii clamp low so one query row explodes to at most 2×2 cells). */
+  def bitsForDegrees(deg: Double): Int = {
+    val b = math.floor(math.log(180.0 / math.max(deg, 1e-12)) / math.log(2.0)).toInt
+    math.max(1, math.min(12, b))
+  }
 
-    val (pcx, pcy) = cellCols(col("lon"), col("lat"), bits)
-    val pts = points.withColumn("cx", pcx).withColumn("cy", pcy)
+  /** Past any planar degree distance in the lon/lat domain (the world box
+    * diagonal is < 403°): a [[planarCellJoin]] box at this radius covers
+    * every cell, so it serves as the provably-complete final kNN round. */
+  val WORLD_DEG: Double = 1000.0
 
-    val (qcx, qcy) = cellCols(col("qlon"), col("qlat"), bits)
-    val qs = queries.withColumn("qcx", qcx).withColumn("qcy", qcy)
+  /** Cell-keyed candidates for one planar radius round: every point whose
+    * cell touches the query's ±deg box — a strict superset of the points
+    * with planar distance < deg (|Δlon| and |Δlat| are each ≤ the distance,
+    * so the disk sits inside the box; cell cover of the box is a superset
+    * again). cellCols clamps both sides, so boxes hanging past the world
+    * edge just stop at the boundary cells. Grid tracks the round's radius
+    * by default ([[bitsForDegrees]]). */
+  private[graft] def planarCellJoin(points: DataFrame, queries: DataFrame,
+                                    deg: Double, bits: Int): DataFrame = {
+    val b = publishBits(points, if (bits == AUTO_BITS) bitsForDegrees(deg) else bits)
+    val (bx0, by0) = cellCols(col("qlon") - lit(deg), col("qlat") - lit(deg), b)
+    val (bx1, by1) = cellCols(col("qlon") + lit(deg), col("qlat") + lit(deg), b)
+    val qCells = queries
+      .withColumn("cx", explode(sequence(bx0, bx1)))
+      .withColumn("cy", explode(sequence(by0, by1)))
+    val (pcx, pcy) = cellCols(col("lon"), col("lat"), b)
+    points.withColumn("cx", pcx).withColumn("cy", pcy).join(qCells, Seq("cx", "cy"))
+  }
 
-    // phase 1: 3×3 neighbor-cell candidates (lat clamped, lon not wrapped —
-    // the metric is planar degrees, nothing exists beyond the world edge)
-    val offsets = Seq(-1, 0, 1)
-    val cand = qs
-      .withColumn("cx", explode(array(offsets.map(d => col("qcx") + lit(d)): _*)))
-      .withColumn("cy", explode(array(offsets.map(d => col("qcy") + lit(d)): _*)))
-      .filter(col("cx") >= 0 && col("cx") < l && col("cy") >= 0 && col("cy") < l)
-      .join(pts, Seq("cx", "cy"))
-      .filter(col("id") =!= col("query_id"))
-      .withColumn("dist2",
-        (col("qlat") - col("lat")) * (col("qlat") - col("lat")) +
-          (col("qlon") - col("lon")) * (col("qlon") - col("lon")))
-
+  /** Exact PLANAR kNN of `queries` (query_id, qlon, qlat) among `points`
+    * (id, lon, lat) under squared-euclidean-degrees, ties by id, self
+    * (id == query_id) excluded. Returns (query_id, rank, neighbor_id,
+    * dist2), rank 1..k.
+    *
+    * Radius-round pattern (the planar mirror of [[knnGeodesic]] — this
+    * replaced a fixed-grid 3×3-ring design whose phase 2 escalated to a
+    * broadcast crossJoin over ALL points, i.e. a full 100 TB scan whenever
+    * any query's ring missed the completeness proof): round r gathers all
+    * points with distance strictly under the round's degree radius via the
+    * cell-keyed join, and a query holding ≥ k of them is complete — every
+    * excluded point is ≥ radius away, strictly beyond its kth candidate, so
+    * the local top-k is the global top-k. Incomplete queries escalate the
+    * radius ×4; stragglers finish with a WORLD-degree round through the
+    * same cell path (the box covers every cell — complete by construction).
+    * Exact at every radius schedule; the schedule only moves cost. The grid
+    * tracks the current round's radius by default (fine grid for small
+    * rounds, coarse for escalated ones), so candidates stay proportional to
+    * the box area — never the fixed 620 km cells of the old design. */
+  def knn(points: DataFrame, queries: DataFrame, k: Int, bits: Int = AUTO_BITS,
+          initDeg: Double = 4.0, rounds: Int = 3): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(col("dist2").asc, col("id").asc)
-    val top = cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    def topk(pairs: DataFrame): DataFrame =
+      pairs.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), col("dist2"))
+    val d2 =
+      (col("qlat") - col("lat")) * (col("qlat") - col("lat")) +
+        (col("qlon") - col("lon")) * (col("qlon") - col("lon"))
 
-    // exactness guarantee: every world point strictly within dSafe of the
-    // query lies inside the 3×3 cell box, so if the kth candidate is
-    // strictly closer than dSafe the top-k is provably complete.
-    val boxMinX = (col("qcx") - 1).cast("double") * lit(cellW) - lit(180.0)
-    val boxMaxX = (col("qcx") + 2).cast("double") * lit(cellW) - lit(180.0)
-    val boxMinY = (col("qcy") - 1).cast("double") * lit(cellH) - lit(90.0)
-    val boxMaxY = (col("qcy") + 2).cast("double") * lit(cellH) - lit(90.0)
-    def edgeDist(d: Column, edgeAtWorldBound: Column): Column =
-      when(edgeAtWorldBound, lit(Double.MaxValue)).otherwise(d)
-    val dSafe = least(
-      edgeDist(col("qlon") - boxMinX, boxMinX <= lit(-180.0)),
-      edgeDist(boxMaxX - col("qlon"), boxMaxX >= lit(180.0)),
-      edgeDist(col("qlat") - boxMinY, boxMinY <= lit(-90.0)),
-      edgeDist(boxMaxY - col("qlat"), boxMaxY >= lit(90.0)))
-
-    val perQuery = top.groupBy("query_id", "qlon", "qlat", "qcx", "qcy")
-      .agg(count(lit(1)).as("n_cand"), max("dist2").as("kth_dist2"))
-      .withColumn("dsafe", dSafe)
-      .withColumn("exact", col("n_cand") >= k && col("kth_dist2") < col("dsafe") * col("dsafe"))
-
-    val okIds = perQuery.filter(col("exact")).select("query_id")
-    val phase1 = top.join(okIds, Seq("query_id"), "left_semi")
-      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), col("dist2"))
-
-    // phase 2: the few escalated queries brute-force against all points
-    // (broadcast the small escalated set; exact by construction)
-    val escQs = qs.join(perQuery.filter(!col("exact") || col("exact").isNull)
-        .select("query_id"), Seq("query_id"), "left_semi")
-      .unionByName( // queries with zero phase-1 candidates never reach perQuery
-        qs.join(perQuery.select("query_id"), Seq("query_id"), "left_anti"))
-      .select("query_id", "qlon", "qlat")
-    val esc = broadcast(escQs)
-      .crossJoin(points)
-      .filter(col("id") =!= col("query_id"))
-      .withColumn("dist2",
-        (col("qlat") - col("lat")) * (col("qlat") - col("lat")) +
-          (col("qlon") - col("lon")) * (col("qlon") - col("lon")))
-    val phase2 = esc.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), col("dist2"))
-
-    phase1.unionByName(phase2)
+    var remaining = queries
+    var radius = initDeg
+    var acc: Option[DataFrame] = None
+    var r = 0
+    while (r < rounds && !remaining.isEmpty) {
+      // one candidate scan per round: persist the pair set (two consumers),
+      // materialize the small per-round outputs eagerly (localCheckpoint)
+      // so the cache can be dropped before the next round
+      val cand = planarCellJoin(points, remaining, radius, bits)
+        .filter(col("id") =!= col("query_id"))
+        .withColumn("dist2", d2)
+        .filter(col("dist2") < lit(radius * radius))
+        .persist()
+      val complete = cand.groupBy("query_id").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= k).select("query_id")
+      val solved = topk(cand.join(complete, Seq("query_id"))).localCheckpoint(true)
+      acc = Some(acc.map(_.unionByName(solved)).getOrElse(solved))
+      remaining = remaining.join(complete, Seq("query_id"), "left_anti").localCheckpoint(true)
+      cand.unpersist()
+      radius *= 4.0
+      r += 1
+    }
+    if (!remaining.isEmpty) {
+      // sparse stragglers: one final WORLD-degree round — each query's box
+      // covers every cell, so the cell join pairs every point with every
+      // remaining query exactly once (the point keys to ONE cell and the
+      // box's cell list holds each cell once); no radius filter needed,
+      // nothing is excluded. AUTO grid regardless of the caller's
+      // round-grid pin (a fine pinned grid would explode each query to
+      // 2^bits cells per axis — bitsForDegrees clamps low → 2×2 cells).
+      val world = planarCellJoin(points, remaining, WORLD_DEG, AUTO_BITS)
+        .filter(col("id") =!= col("query_id"))
+        .withColumn("dist2", d2)
+      acc = Some(acc.map(_.unionByName(topk(world))).getOrElse(topk(world)))
+    }
+    // typed empty result when the query side is empty (a zero-column
+    // emptyDataFrame would break schema-dependent consumers)
+    acc.getOrElse(queries.limit(0)
+      .select(col("query_id"), lit(1).as("rank"),
+        col("query_id").as("neighbor_id"), lit(0.0).as("dist2")))
   }
 
   /** Salted variant of the cell-keyed join for skewed data (north rule:

@@ -98,6 +98,17 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
+  // reentrancy guard for the stats sub-query: running it re-enters the
+  // optimizer, so a box side that ITSELF contains another rewritable
+  // natural spatial join would fire the rule recursively and launch nested
+  // stats jobs (depth bounded only by query nesting; a StackOverflowError
+  // from a deep plan is fatal, not NonFatal). Inside a stats job the inner
+  // rewrite keeps the fixed default grid — the inner join still plans
+  // cell-keyed, just untuned, and the OUTER memoized bits are unaffected.
+  private val inStatsJob = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+
   /** The grid for one rewrite: the pinned conf value, else the box-extent
     * derivation over the (small) box side. Both rule axes are mapped by
     * the SAME 360°-wide [[cellIdx]], so the shared formula
@@ -107,35 +118,49 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     * `bitsForBoxes` on the same table — asserted in SpatialJoinSpec).
     * Guards: a box side whose logical-plan size estimate exceeds
     * [[STATS_MAX_BYTES_KEY]] skips the stats job (bounded planning time for
-    * arbitrary SQL — the old fixed grid still plans, just less tuned),
-    * and any stats failure (streaming child, no active session) falls
-    * back the same way. */
+    * arbitrary SQL — the old fixed grid still plans, just less tuned; the
+    * conf is only consulted — and so only validated — on this adaptive
+    * path, so pinned-bits sessions never fail on a malformed value), a
+    * rewrite reached FROM a running stats job keeps the fixed default
+    * (reentrancy guard above), and any stats failure (streaming child, no
+    * active session) falls back the same way. */
   private def gridBits(boxSide: LogicalPlan, bx: Bounds, by: Bounds): Int = {
-    val maxBytes = statsMaxBytes // validated OUTSIDE the fallback catch
     val b = confBits.getOrElse {
-      try {
-        if (boxSide.stats.sizeInBytes > maxBytes) DEFAULT_BITS
-        else {
-          val key = "rule|" + boxSide.semanticHash() +
-            "|" + Seq(bx.lower, bx.upper, by.lower, by.upper).map(_.semanticHash()).mkString(",")
-          graft.join.SpatialJoin.BitsMemo.getOrCompute(key) {
-            val spark = SparkSession.active
-            val proj = Project(Seq(
-              Alias(Subtract(bx.upper, bx.lower), "dx")(),
-              Alias(Subtract(by.upper, by.lower), "dy")()), boxSide)
-            val row = org.apache.spark.sql.graft.bridge.ofRows(spark, proj)
-              .selectExpr(
-                "percentile_approx(dx, 0.5, 100) AS ex",
-                "percentile_approx(dy, 0.5, 100) AS ey",
-                "max(dx) AS mx", "max(dy) AS my")
-              .head()
-            if (row.isNullAt(0) || row.isNullAt(1)) DEFAULT_BITS
-            else graft.join.SpatialJoin.bitsFromExtents(
-              row.getDouble(0), row.getDouble(1), row.getDouble(2), row.getDouble(3),
-              spanX = 360.0, spanY = 360.0)
+      if (inStatsJob.get) DEFAULT_BITS
+      else {
+        val maxBytes = statsMaxBytes // validated OUTSIDE the fallback catch
+        try {
+          if (boxSide.stats.sizeInBytes > maxBytes) DEFAULT_BITS
+          else {
+            // 32-bit semantic hashes collide at memo scale — pair them
+            // with the canonicalized-tree + source-paths digest (the
+            // SAME planKey scheme as the DataFrame API's memo)
+            val key = "rule|" + graft.join.SpatialJoin.planKey(boxSide) +
+              "|" + Seq(bx.lower, bx.upper, by.lower, by.upper)
+                .map(e => e.semanticHash().toString + ":" +
+                  graft.join.SpatialJoin.planDigest(e.canonicalized.toString)).mkString(",")
+            graft.join.SpatialJoin.BitsMemo.getOrCompute(key) {
+              val spark = SparkSession.active
+              val proj = Project(Seq(
+                Alias(Subtract(bx.upper, bx.lower), "dx")(),
+                Alias(Subtract(by.upper, by.lower), "dy")()), boxSide)
+              inStatsJob.set(java.lang.Boolean.TRUE)
+              val row =
+                try org.apache.spark.sql.graft.bridge.ofRows(spark, proj)
+                  .selectExpr(
+                    "percentile_approx(dx, 0.5, 100) AS ex",
+                    "percentile_approx(dy, 0.5, 100) AS ey",
+                    "max(dx) AS mx", "max(dy) AS my")
+                  .head()
+                finally inStatsJob.set(java.lang.Boolean.FALSE)
+              if (row.isNullAt(0) || row.isNullAt(1)) DEFAULT_BITS
+              else graft.join.SpatialJoin.bitsFromExtents(
+                row.getDouble(0), row.getDouble(1), row.getDouble(2), row.getDouble(3),
+                spanX = 360.0, spanY = 360.0)
+            }
           }
-        }
-      } catch { case scala.util.control.NonFatal(_) => DEFAULT_BITS }
+        } catch { case scala.util.control.NonFatal(_) => DEFAULT_BITS }
+      }
     }
     try conf.setConfString(LAST_BITS_KEY, b.toString)
     catch { case scala.util.control.NonFatal(_) => () }

@@ -21,9 +21,10 @@ object PlanDump {
     try {
       args.toList match {
         case "knn-probe" :: dir :: Nil =>
-          // force a coarse grid so the escalation (phase-2) path must fire:
-          // with 4 bits (16×16 cells) candidate boxes are huge → exact; with
-          // 10 bits cells are tiny → phase-1 often incomplete → escalation.
+          // pin the per-round grid at several granularities: coarse grids
+          // resolve in round 1, fine grids push queries through escalation
+          // and the world round — checksums must agree (exact at every
+          // schedule; the grid only moves cost).
           val p = graft.Queries.pts(spark, dir)
           val qs = p.filter(col("id") % 101 === 0)
             .select(col("id").as("query_id"), col("lon").as("qlon"), col("lat").as("qlat"))

@@ -36,4 +36,10 @@ object bridge {
     * of identity hash codes (which can recur after GC). */
   def sessionUUID(spark: org.apache.spark.sql.SparkSession): String =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
+
+  /** Drain the async listener bus (`listenerBus` is `private[spark]`) —
+    * test assertions over QueryExecutionListener-captured plans need the
+    * in-flight events delivered before checking. */
+  def waitListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }

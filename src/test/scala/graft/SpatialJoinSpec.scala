@@ -638,4 +638,206 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(atScale == broadcastPath)
     assert(atScale.nonEmpty)
   }
+
+  test("planar knn == brute force through every path (round-1, escalation, world round)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // sparse global scatter + one dense cluster at query 1: with a small
+    // initial degree radius, query 1 resolves in round 1, some resolve
+    // after escalation, and the sparsest only in the world round
+    val scattered = (0 until 400).map { i =>
+      (i.toLong, -180.0 + ((i * 131) % 3571) * 0.1007, -90.0 + ((i * 173) % 1777) * 0.1013)
+    }
+    val cluster = (0 until 6).map(j => (400L + j, 10.0 + j * 0.1, 45.0 + j * 0.05))
+    val pts = (scattered ++ cluster).toDF("id", "lon", "lat")
+    val qs = Seq(
+      (1L, 10.0, 45.0), (2L, -60.0, -20.0), (3L, 178.9, 10.0),
+      (4L, -179.2, -35.0), (5L, 30.0, 88.5), (6L, 0.0, -89.0))
+      .toDF("query_id", "qlon", "qlat")
+    val got = SpatialJoin.knn(pts, qs, k = 4, initDeg = 0.5, rounds = 2)
+      .select("query_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    val w = Window.partitionBy("query_id").orderBy(col("d2").asc, col("id").asc)
+    val bruteDf = pts.crossJoin(qs)
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("d2",
+        (col("qlat") - col("lat")) * (col("qlat") - col("lat")) +
+          (col("qlon") - col("lon")) * (col("qlon") - col("lon"))).cache()
+    val brute = bruteDf
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 4)
+      .select("query_id", "rank", "id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(got == brute)
+    assert(got.size == 6 * 4)
+    // path coverage sanity: query 1 has >= k within the OPENING radius
+    // (round-1 path) and at least one query lacks k within the FINAL
+    // scheduled radius (world-round path)
+    def withinCount(deg: Double): Map[Long, Long] = bruteDf
+      .filter(col("d2") < deg * deg).groupBy("query_id").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(withinCount(0.5).getOrElse(1L, 0L) >= 4, "round-1 path not exercised")
+    val atFinal = withinCount(0.5 * 4)
+    assert((1L to 6L).exists(q => atFinal.getOrElse(q, 0L) < 4),
+      "all queries resolved before the world round — weaken initDeg to test it")
+    bruteDf.unpersist()
+  }
+
+  test("planar knn: no CartesianProduct/BroadcastNestedLoopJoin in ANY plan the operator runs") {
+    import spark.implicits._
+    // the rounds execute eagerly inside knn(), so the final plan alone
+    // can't witness them — capture EVERY executed plan via a listener
+    // (this is the assertion that retired the old phase-2
+    // broadcast(escQs).crossJoin(points) full-scan fallback)
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit =
+        try plans.add(qe.executedPlan.toString)
+        catch { case scala.util.control.NonFatal(_) => () }
+    }
+    val pts = (0 until 300).map { i =>
+      (i.toLong, -180.0 + ((i * 131) % 3571) * 0.1007, -90.0 + ((i * 173) % 1777) * 0.1013)
+    }.toDF("id", "lon", "lat")
+    // sparse queries force escalation AND the world round — the paths that
+    // used to cross-join
+    val qs = Seq((1L, 10.0, 45.0), (2L, 30.0, 88.5), (3L, 0.0, -89.0))
+      .toDF("query_id", "qlon", "qlat")
+    spark.listenerManager.register(listener)
+    try {
+      val res = SpatialJoin.knn(pts, qs, k = 5, initDeg = 0.25, rounds = 2).collect()
+      assert(res.length == 3 * 5)
+      org.apache.spark.sql.graft.bridge.waitListenerBus(spark)
+      import scala.jdk.CollectionConverters._
+      val all = plans.asScala.toSeq
+      assert(all.nonEmpty, "listener captured no plans — assertion is vacuous")
+      all.foreach { p =>
+        assert(!p.contains("CartesianProduct"), p)
+        assert(!p.contains("BroadcastNestedLoopJoin"), p)
+      }
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("planar knn: pinned per-round grids agree with AUTO (exact at every schedule)") {
+    import spark.implicits._
+    val pts = spark.range(2000).map { i =>
+      (i, -170.0 + (i % 337).toDouble + (i % 13) * 0.07,
+        -80.0 + (i % 157).toDouble + (i % 11) * 0.05)
+    }.toDF("id", "lon", "lat")
+    val qs = pts.filter(col("id") % 97 === 0)
+      .select(col("id").as("query_id"), col("lon").as("qlon"), col("lat").as("qlat"))
+    def run(bits: Int): Seq[(Long, Int, Long)] =
+      SpatialJoin.knn(pts, qs, k = 3, bits = bits)
+        .select("query_id", "rank", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    val auto = run(SpatialJoin.AUTO_BITS)
+    assert(auto == run(4) && auto == run(9))
+    assert(auto.size == qs.count() * 3)
+    // the per-round auto grid tracks the radius
+    assert(SpatialJoin.bitsForDegrees(4.0) == 5)
+    assert(SpatialJoin.bitsForDegrees(0.05) == 11)
+    assert(SpatialJoin.bitsForDegrees(1e-9) == 12)  // clamp hi
+    assert(SpatialJoin.bitsForDegrees(1000.0) == 1) // world round → 2×2 cells
+  }
+
+  test("rewrite guards: pinned bits never evaluate statsMaxBytes; nested natural joins survive the stats reentry") {
+    import spark.implicits._
+    val pts = spark.range(500).map(i =>
+      (i, (i % 337).toDouble - 170.0, (i % 157).toDouble - 80.0)).toDF("id", "lon", "lat")
+    val boxes = Seq((1L, 9.0, 44.0, 11.0, 46.0), (2L, -100.0, -50.0, -60.0, 0.0))
+      .toDF("rid", "minx", "miny", "maxx", "maxy")
+    graft.plans.SpatialPlanner.enable(spark)
+    try {
+      // a session that pins bits never runs the stats job, so a malformed
+      // statsMaxBytes must NOT fail its queries (the conf is validated
+      // only on the adaptive path)
+      spark.conf.set(graft.plans.SpatialJoinRewrite.STATS_MAX_BYTES_KEY, "1g")
+      spark.conf.set(graft.plans.SpatialJoinRewrite.BITS_KEY, "5")
+      val pinned = pts.join(boxes,
+        col("lon") >= col("minx") && col("lon") <= col("maxx") &&
+          col("lat") >= col("miny") && col("lat") <= col("maxy"))
+      assert(pinned.queryExecution.executedPlan.toString.contains("__graft_gx"))
+      assert(spark.conf.get(graft.join.SpatialJoin.LAST_BITS_KEY).toInt == 5)
+      val gotPinned = pinned.select("id", "rid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      spark.conf.unset(graft.plans.SpatialJoinRewrite.STATS_MAX_BYTES_KEY)
+      spark.conf.unset(graft.plans.SpatialJoinRewrite.BITS_KEY)
+
+      // box side CONTAINING another rewritable natural spatial join: the
+      // adaptive stats sub-query re-enters the optimizer; the thread-local
+      // guard pins the inner rewrite to the fixed default instead of
+      // launching nested stats jobs — results must still be exact
+      val nestPts = spark.range(500).map(i =>
+        (i, 8.0 + (i % 40) * 0.1, 43.0 + (i % 35) * 0.1)).toDF("id", "lon", "lat")
+      val innerPts = spark.range(40).map(i =>
+        (1000L + i, 9.0 + (i % 20) * 0.1, 44.0 + (i % 10) * 0.2)).toDF("bid", "blon", "blat")
+      val boxSide = innerPts.join(boxes,
+        col("blon") >= col("minx") && col("blon") <= col("maxx") &&
+          col("blat") >= col("miny") && col("blat") <= col("maxy"))
+      val nested = nestPts.join(boxSide,
+        col("lon") >= col("minx") && col("lon") <= col("maxx") &&
+          col("lat") >= col("miny") && col("lat") <= col("maxy"))
+      val planN = nested.queryExecution.executedPlan.toString
+      assert(planN.contains("__graft_gx"), planN)
+      assert(!planN.contains("NestedLoopJoin"), planN)
+      val gotNested = nested.select("id", "bid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == graft.plans.SpatialJoinRewrite)
+      val naiveNested = nestPts.join(boxSide,
+        col("lon") >= col("minx") && col("lon") <= col("maxx") &&
+          col("lat") >= col("miny") && col("lat") <= col("maxy"))
+        .select("id", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(gotNested == naiveNested && gotNested.nonEmpty)
+      val naivePinned = pts.join(boxes,
+        col("lon") >= col("minx") && col("lon") <= col("maxx") &&
+          col("lat") >= col("miny") && col("lat") <= col("maxy"))
+        .select("id", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(gotPinned == naivePinned && gotPinned.nonEmpty)
+    } finally {
+      spark.conf.unset(graft.plans.SpatialJoinRewrite.STATS_MAX_BYTES_KEY)
+      spark.conf.unset(graft.plans.SpatialJoinRewrite.BITS_KEY)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == graft.plans.SpatialJoinRewrite)
+    }
+  }
+
+  test("BitsMemo deployment surface: counters, size, and invalidate-then-recompute after an in-place rewrite") {
+    import spark.implicits._
+    import graft.join.SpatialJoin.BitsMemo
+    val dir = java.nio.file.Files.createTempDirectory("bitsmemo").toString
+    spark.range(50).map { i =>
+      val x = (i % 30).toDouble; val y = (i % 15).toDouble
+      (i, x, y, x + 0.05, y + 0.04)
+    }.toDF("rid", "minx", "miny", "maxx", "maxy")
+      .write.mode("overwrite").parquet(s"$dir/boxes")
+    BitsMemo.clear()
+    val h0 = BitsMemo.hitCount; val m0 = BitsMemo.missCount
+    val fine = SpatialJoin.bitsForBoxes(spark.read.parquet(s"$dir/boxes"))
+    assert(fine == 12, s"0.05-degree boxes must choose the fine clamp, got $fine")
+    assert(BitsMemo.missCount == m0 + 1 && BitsMemo.size >= 1)
+    // a FRESH read of the same path hits the memo (bench reps, pipelines)
+    assert(SpatialJoin.bitsForBoxes(spark.read.parquet(s"$dir/boxes")) == fine)
+    assert(BitsMemo.hitCount == h0 + 1)
+    // counters are published to the session conf (lastBits pattern)
+    assert(spark.conf.get(BitsMemo.HITS_KEY).toLong == BitsMemo.hitCount)
+    assert(spark.conf.get(BitsMemo.MISSES_KEY).toLong == BitsMemo.missCount)
+    // in-place rewrite: same path, wildly different extents — the memo
+    // key is identical by design, so STALE bits are served (cost-only)...
+    spark.range(8).map { i =>
+      (i, -170.0 + i * 2.0, -80.0 + i * 1.5, 160.0, 75.0)
+    }.toDF("rid", "minx", "miny", "maxx", "maxy")
+      .write.mode("overwrite").parquet(s"$dir/boxes")
+    assert(SpatialJoin.bitsForBoxes(spark.read.parquet(s"$dir/boxes")) == fine,
+      "expected the documented stale-bits-after-rewrite behavior")
+    // ...until the deployment hook invalidates and the next join re-derives
+    BitsMemo.clear()
+    assert(BitsMemo.size == 0)
+    val coarse = SpatialJoin.bitsForBoxes(spark.read.parquet(s"$dir/boxes"))
+    assert(coarse < fine, s"post-clear recompute still served $coarse")
+  }
 }
