@@ -495,25 +495,58 @@ object Queries {
     * Mirrored verbatim in the oracle SQL. */
   val EMB_OFFSET = 1000000L
 
-  /** 16 random-hyperplane sign bits; hyperplane entries are deterministic
-    * ±1 from integer hash parity (SQL-mirrorable). The plane-index stride
-    * is 4096 (≫ any plausible embedding dimension), so bit j's hyperplane
-    * never aliases bit j+1's — the old stride of 64 silently correlated
-    * the sign bits for > 64-dim vectors. Banded-LSH recall is exactly 100%
-    * only for the PLANTED scaled copies (scaling preserves every sign);
-    * for arbitrary near-dup pairs it is probabilistic, as with any LSH. */
+  /** Deterministic BALANCED ±1 hyperplanes for the sign-bit LSH: plane j
+    * over dimension D has exactly ⌊D/2⌋ minus entries, placed by a
+    * splitmix64-seeded Fisher–Yates shuffle — no aliasing between planes
+    * at ANY dimension (the round-5 stride fix), and zero response to a
+    * constant component mean: the synthetic embeddings' components share a
+    * positive mean μ, so an UNBALANCED plane's dot product is dominated by
+    * h·μ ≈ ±(imbalance)·μ·√D and many sign bits come out near-constant
+    * across vectors — measured 342k banded candidate rows at sf0.1 (max
+    * bucket 411 of 2,286). Exact balance makes h·μ = 0, the bits ~uniform,
+    * and the candidate set collapses toward the uniform-bucket bound.
+    * Cached per (plane, dim); cheap, bounded (16 planes × observed dims). */
+  private[graft] object BalancedPlanes {
+    private val cache = new java.util.concurrent.ConcurrentHashMap[Long, Array[Double]]()
+    private def splitmix64(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    def plane(j: Int, dim: Int): Array[Double] =
+      cache.computeIfAbsent(j.toLong << 32 | dim.toLong, { (key: Long) =>
+        val jj = (key >> 32).toInt; val d = (key & 0xFFFFFFFFL).toInt
+        val idx = Array.tabulate(d)(identity)
+        var seed = splitmix64(jj.toLong)
+        var i = d - 1
+        while (i > 0) {
+          seed = splitmix64(seed)
+          val k = ((seed >>> 1) % (i + 1)).toInt
+          val t = idx(i); idx(i) = idx(k); idx(k) = t
+          i -= 1
+        }
+        val out = Array.fill(d)(1.0)
+        var m = 0
+        while (m < d / 2) { out(idx(m)) = -1.0; m += 1 }
+        out
+      })
+  }
+
+  /** 16 balanced-hyperplane sign bits ([[BalancedPlanes]]). Banded-LSH
+    * recall is exactly 100% for the PLANTED scaled copies under ANY plane
+    * scheme (positive scaling preserves every sign, so the signature is
+    * identical); for arbitrary near-dup pairs it is probabilistic, as with
+    * any LSH — the plane scheme only moves candidate COST. */
   private[graft] val embSigUdf = udf((v: Seq[Double]) => {
     var out = 0L
+    val d = v.length
     var j = 0
     while (j < 16) {
+      val h = BalancedPlanes.plane(j, d)
       var s = 0.0
-      var d = 0
-      while (d < v.length) {
-        val sgn =
-          if ((2654435761L * (j * 4096 + d + 1)) % 4294967296L < 2147483648L) 1.0 else -1.0
-        s += v(d) * sgn
-        d += 1
-      }
+      var i = 0
+      while (i < d) { s += v(i) * h(i); i += 1 }
       if (s >= 0.0) out |= (1L << j)
       j += 1
     }
@@ -543,19 +576,20 @@ object Queries {
       sigs.select(col("vec_id"), lit(b).as("band"),
         shiftright(col("sig"), b * 8).bitwiseAND(lit(255L)).as("bkey"))
     }.reduce(_ unionByName _)
-    // candidate-count observability (the round-5 stride fix changed the
-    // hyperplane values, hence the band keys, hence this count — a silent
-    // cost lever): CollectMetrics rides the existing pass (no extra job);
-    // Bench/QBench print `q50_band_rows` (pre-dedup banded-join rows, the
-    // priced cost) and `q50_cand_pairs` (pairs entering the exact refine)
-    // per run, so candidate growth is measured, not guessed.
+    // candidate-count observability (plane-scheme changes move the band
+    // keys, hence this count — a silent cost lever the round-5 stride fix
+    // pulled by accident, +130% measured): CollectMetrics rides the
+    // existing pass (no extra job); Bench/QBench print `q50_band_rows`
+    // (pre-dedup banded-join rows, the priced cost) per run, so candidate
+    // growth is measured, not guessed. Observed BELOW the dedup shuffle
+    // deliberately: nodes above it sit in the segment the final orderBy's
+    // range-partitioning SAMPLE pass re-executes, which double-counts.
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .observe("q50_band_rows", count(lit(1)).as("rows"))
       .distinct()
-      .observe("q50_cand_pairs", count(lit(1)).as("pairs"))
     // refine: NATIVE zip_with/aggregate dot product (whole-stage codegen,
     // no per-pair Seq boxing — a UDF here cost ~6× on skewed band buckets)
     // summing in array order, exactly like the oracle's list_dot_product;
