@@ -70,13 +70,152 @@ object ScaleSmoke {
     val bDw = lastBits
     val (tKnn, nKnn) = time(SpatialJoin.knnGeodesic(pts, knnQs, k = 5).count())
     val bKnn = lastBits
+    // planar kNN through the SAME radius-round pattern (the rewrite that
+    // retired the fixed-grid crossJoin fallback) — at 10M points a single
+    // full-scan escalation would dominate this timer; rounds keep it flat
+    val knnPQs = knnQs.withColumnRenamed("qid", "query_id")
+    val (tKnnP, nKnnP) = time(SpatialJoin.knn(pts, knnPQs, k = 5).count())
+    val bKnnP = lastBits
+
+    // ---- bucketed-layout payoff: the SAME cell join replayed 3x against
+    // plain parquet (shuffles both sides every replay) vs cell-bucketed
+    // tables (zero-Exchange co-located SMJ) — the repeated-join regime the
+    // q57 layout exists for, now a measured speedup instead of a claim
+    val bktBits = 6
+    val bktBuckets = 32
+    val base = java.nio.file.Files.createTempDirectory("smoke_bkt")
+    val withCell = pts.withColumn("cell",
+      graft.sources.TableIO.cellKeyCol("lon", "lat", bktBits))
+    val sideB = withCell.filter(col("id") % 3 === 0)
+    withCell.write.mode("overwrite").parquet(s"$base/plain_a")
+    sideB.write.mode("overwrite").parquet(s"$base/plain_b")
+    spark.sql("DROP TABLE IF EXISTS smoke_bkt_a")
+    spark.sql("DROP TABLE IF EXISTS smoke_bkt_b")
+    graft.sources.TableIO.writeBucketedByCell(
+      pts, "smoke_bkt_a", s"$base/bkt_a", "lon", "lat", bktBits, bktBuckets)
+    graft.sources.TableIO.writeBucketedByCell(
+      pts.filter(col("id") % 3 === 0), "smoke_bkt_b", s"$base/bkt_b",
+      "lon", "lat", bktBits, bktBuckets)
+    // force sort-merge on both variants: at 100 TB neither side broadcasts,
+    // and the comparison is Exchange-per-replay vs bucket-co-located SMJ
+    def replay(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame): Long =
+      a.select("cell").join(b.select("cell").hint("merge"), Seq("cell"))
+        .groupBy("cell").agg(count(lit(1))).count()
+    val (tPlain3, _) = time {
+      var r = 0L
+      (1 to 3).foreach { _ =>
+        r = replay(spark.read.parquet(s"$base/plain_a"), spark.read.parquet(s"$base/plain_b"))
+      }
+      r
+    }
+    val (tBkt3, _) = time {
+      var r = 0L
+      (1 to 3).foreach { _ => r = replay(spark.table("smoke_bkt_a"), spark.table("smoke_bkt_b")) }
+      r
+    }
+    // single-cell probe: bucket pruning reads 1 of the 32 buckets
+    // (filter-only bucketed scans need auto selection off — TableIOSpec)
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val probeCell = spark.table("smoke_bkt_a").select("cell").head().getLong(0)
+    val probePlan = spark.table("smoke_bkt_a").filter(col("cell") === probeCell)
+      .queryExecution.executedPlan.toString
+    spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    val selBuckets = probePlan.linesIterator
+      .find(_.contains("SelectedBucketsCount"))
+      .flatMap(l => "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(l))
+      .map(m => s""""${m.group(1)} out of ${m.group(2)}"""").getOrElse("\"absent\"")
+    val bktNoExchange = {
+      val p = spark.table("smoke_bkt_a").select("cell")
+        .join(spark.table("smoke_bkt_b").select("cell").hint("merge"), Seq("cell"))
+        .queryExecution.executedPlan.toString
+      !p.contains("Exchange")
+    }
+
+    // ---- skew evidence: 80% of the points in ONE hot cell (a city), the
+    // rest uniform; plain vs salted join on a box covering the hot spot.
+    // Per-task shuffle-read rows show where the hot cell's rows LAND: one
+    // task (or AQE-split tasks) in the plain join, ~`salts` tasks salted.
+    val taskRecs = new java.util.concurrent.ConcurrentHashMap[Int, java.util.List[Long]]()
+    val skewListener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null && m.shuffleReadMetrics.recordsRead > 0)
+          taskRecs.computeIfAbsent(t.stageId,
+            (_: Int) => java.util.Collections.synchronizedList(new java.util.ArrayList[Long]()))
+            .add(m.shuffleReadMetrics.recordsRead)
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    def taskSummary(): (Long, Long) = {
+      // the stage that read the most shuffle rows = the join's probe stage
+      val stages = taskRecs.asScala.toSeq.map { case (sid, l) => (sid, l.asScala.toVector) }
+      if (stages.isEmpty) (0L, 0L)
+      else {
+        val rows = stages.maxBy(_._2.sum)._2.sorted
+        (rows.max, rows((rows.size - 1) / 2))
+      }
+    }
+    val hotN = n / 2
+    val skewPts = spark.range(hotN).repartition(spark.sparkContext.defaultParallelism)
+      .select(col("id"),
+        when(col("id") % 5 =!= 0, // 80% in one ~2 km hot spot (one cell at any grid)
+          lit(45.0) + (((col("id") * lit(2654435761L)) % lit(4294967296L)) / lit(4294967296.0)) * lit(0.02))
+          .otherwise(lit(-90.0) + lit(180.0) *
+            (((col("id") * lit(2654435761L)) % lit(4294967296L)) / lit(4294967296.0))).as("lat"),
+        when(col("id") % 5 =!= 0,
+          lit(10.0) + (((col("id") * lit(2246822519L)) % lit(4294967296L)) / lit(4294967296.0)) * lit(0.02))
+          .otherwise(lit(-180.0) + lit(360.0) *
+            (((col("id") * lit(2246822519L)) % lit(4294967296L)) / lit(4294967296.0))).as("lon"))
+      .cache()
+    skewPts.count()
+    val skewBoxes = spark.range(50)
+      .select(col("id").as("rid"),
+        (lit(-180.0) + col("id").cast("double") * lit(7.0)).as("minx"),
+        (lit(-88.0) + col("id").cast("double") * lit(3.4)).as("miny"))
+      .withColumn("maxx", col("minx") + lit(4.0))
+      .withColumn("maxy", col("miny") + lit(4.0))
+      .unionByName(spark.range(1).select(lit(999L).as("rid"), lit(9.0).as("minx"),
+        lit(44.0).as("miny"), lit(12.0).as("maxx"), lit(46.0).as("maxy")))
+    // at 100 TB the exploded query side doesn't broadcast — force the
+    // shuffled join locally so the per-task skew is the real measurement
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.sparkContext.addSparkListener(skewListener)
+    val (tSkewPlain, nSkewPlain) =
+      time(SpatialJoin.joinPointsInBoxes(skewPts, skewBoxes, bits = 8).count())
+    org.apache.spark.sql.graft.bridge.waitListenerBus(spark)
+    val (plainMax, plainMed) = taskSummary()
+    taskRecs.clear()
+    val (tSkewSalt, nSkewSalt) =
+      time(SpatialJoin.joinPointsInBoxesSalted(skewPts, skewBoxes, bits = 8, salts = 8).count())
+    org.apache.spark.sql.graft.bridge.waitListenerBus(spark)
+    val (saltMax, saltMed) = taskSummary()
+    spark.sparkContext.removeSparkListener(skewListener)
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    require(nSkewPlain == nSkewSalt,
+      s"salted join changed results: $nSkewPlain vs $nSkewSalt")
 
     def rps(t: Double): Long = (n / math.max(t, 1e-9)).toLong
     println(
       s"""{"metric":"scale_smoke","n_points":$n,"ops":{""" +
         s""""box_join":{"sec":$tBox,"pairs":$nBox,"points_per_sec":${rps(tBox)},"auto_bits":$bBox},""" +
         s""""dwithin_50km_1k_queries":{"sec":$tDw,"pairs":$nDw,"points_per_sec":${rps(tDw)},"auto_bits":$bDw},""" +
-        s""""knn_geodesic_k5_200_queries":{"sec":$tKnn,"rows":$nKnn,"points_per_sec":${rps(tKnn)},"auto_bits":$bKnn}}}""")
+        s""""knn_geodesic_k5_200_queries":{"sec":$tKnn,"rows":$nKnn,"points_per_sec":${rps(tKnn)},"auto_bits":$bKnn},""" +
+        s""""knn_planar_k5_200_queries":{"sec":$tKnnP,"rows":$nKnnP,"points_per_sec":${rps(tKnnP)},"auto_bits":$bKnnP},""" +
+        s""""bucketed_replay_3x":{"plain_sec":$tPlain3,"bucketed_sec":$tBkt3,""" +
+        s""""bucketed_no_exchange":$bktNoExchange,"single_cell_probe_buckets":$selBuckets},""" +
+        s""""skew_hot_cell":{"n_points":$hotN,"plain_sec":$tSkewPlain,"salted_sec":$tSkewSalt,""" +
+        s""""pairs":$nSkewPlain,"plain_task_rows_max":$plainMax,"plain_task_rows_median":$plainMed,""" +
+        s""""salted_task_rows_max":$saltMax,"salted_task_rows_median":$saltMed}}}""")
+    spark.sql("DROP TABLE IF EXISTS smoke_bkt_a")
+    spark.sql("DROP TABLE IF EXISTS smoke_bkt_b")
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
+          .foreach(q => java.nio.file.Files.deleteIfExists(q))
+      }
+    }
+    rmTree(base)
     spark.stop()
   }
 }
