@@ -35,19 +35,7 @@ object Bench {
     // queries carrying observe() instrumentation (q50's banded-candidate
     // counts) report here: last value per metric name, emitted in the JSON
     // so cost drift in candidate generation is visible per run
-    val observed = new java.util.concurrent.ConcurrentHashMap[String, Long]()
-    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
-      override def onSuccess(funcName: String,
-                             qe: org.apache.spark.sql.execution.QueryExecution,
-                             durationNs: Long): Unit =
-        qe.observedMetrics.foreach { case (name, row) =>
-          if (row.length > 0 && row.get(0).isInstanceOf[Long])
-            observed.put(name, row.getLong(0))
-        }
-      override def onFailure(funcName: String,
-                             qe: org.apache.spark.sql.execution.QueryExecution,
-                             exception: Exception): Unit = ()
-    })
+    val observed = graft.bench.Observed.register(spark)
 
     // JVM/Spark warmup on an unmeasured small query
     try SparkEntry.queries("q01_agg")(spark, sfDir).write.format("noop")
@@ -85,9 +73,7 @@ object Bench {
       else "\"" + n + "\":[" + v.min + "," + v.max + "]"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    // listener delivery is async on the bus — give the last query's
-    // metrics a moment to land before snapshotting
-    Thread.sleep(500)
+    graft.bench.Observed.drain(spark) // async bus: wait, don't sleep-and-hope
     import scala.jdk.CollectionConverters._
     val obs = observed.asScala.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

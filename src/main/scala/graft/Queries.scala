@@ -328,9 +328,12 @@ object Queries {
     * pending list under the lock and execute after release): an evictor
     * that runs Spark jobs or deletes files must not block every unrelated
     * cache user for its duration. A holder evicted WHILE another thread is
-    * still computing its value is marked instead of leaked: whichever
-    * thread completes the value then runs onEvict on it exactly once (the
-    * caller still gets the value — merely no longer cached/persisted). */
+    * still computing its value is marked, and the completing thread
+    * RE-INSERTS it instead of destroying it: the caller is about to USE
+    * the value, so running a destructive evictor (bucketedCache DROPs
+    * catalog tables) would hand back a dead handle; the freshly computed
+    * value is also exactly what LRU wants resident. The re-insert may
+    * evict an older entry, which drains through the same pending path. */
   private[graft] final class SessionCache[V](cap: Int, onEvict: V => Unit) {
     private final class Holder(f: () => V) {
       lazy val value: V = f() // at most once; same-key callers block here
@@ -345,7 +348,7 @@ object Queries {
           val h = e.getValue
           h.evicted = true
           // a not-yet-forced holder may still be computing (or was never
-          // used): its completing thread sees `evicted` and cleans up
+          // used): its completing thread sees `evicted` and re-inserts
           if (h.forced && !h.cleaned) { h.cleaned = true; pending ::= h }
           true
         } else false
@@ -365,11 +368,21 @@ object Queries {
       }
       toEvict.foreach(runEvict) // outside the monitor
       val v = h.value           // builder outside the monitor
-      val cleanNow = m.synchronized {
+      val toEvict2 = m.synchronized {
         h.forced = true
-        if (h.evicted && !h.cleaned) { h.cleaned = true; true } else false
+        if (h.evicted && !h.cleaned) {
+          // evicted while computing: put the fresh value back (the caller
+          // is about to use it; destroying it would hand back a dead
+          // handle) — the re-insert may evict an older entry. If another
+          // thread already installed a NEWER holder for the key, leave it
+          // (this value stays usable but uncached — rare double-race leak,
+          // the pre-round-6 behavior for the whole race).
+          h.evicted = false
+          if (!m.containsKey(k)) m.put(k, h)
+        }
+        val p = pending; pending = Nil; p
       }
-      if (cleanNow) runEvict(h) // evicted mid-compute: clean up the orphan
+      toEvict2.foreach(runEvict)
       v
     }
   }
@@ -767,10 +780,15 @@ object Queries {
   // Eviction DROPS the catalog tables (runs outside the cache monitor —
   // SessionCache drains evictors after releasing the lock, so the DROP's
   // Spark command never blocks unrelated cache users) and DEFERS the
-  // on-disk deletion to JVM exit: a q57 scan already executing against the
-  // evicted entry in another thread must not have its parquet files yanked
-  // mid-read, and the temp copies are bounded (≤ cap entries × 2 tables).
+  // on-disk deletion: a q57 scan already executing against the evicted
+  // entry in another thread must not have its parquet files yanked
+  // mid-read. The deferred queue is BOUNDED (grace window of 8 evictions,
+  // then oldest-first deletion — a scan still running 8 evictions after
+  // its entry left the cache has outlived any realistic query) with a
+  // JVM-exit sweep for the tail, so a long-lived driver cycling many
+  // (session × dir) keys cannot accumulate unbounded temp copies.
   private val deferredDeletes = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private val DEFER_GRACE = 8
   private lazy val deleteHookInstalled: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       var p = deferredDeletes.poll()
@@ -783,6 +801,10 @@ object Queries {
         catch { case scala.util.control.NonFatal(_) => () }
         deleteHookInstalled
         deferredDeletes.add(base)
+        while (deferredDeletes.size > DEFER_GRACE) {
+          val old = deferredDeletes.poll()
+          if (old != null) deleteRecursively(old)
+        }
     })
 
   val BKT_BITS = 6

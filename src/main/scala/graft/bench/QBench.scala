@@ -12,18 +12,7 @@ object QBench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val observed = new java.util.concurrent.ConcurrentHashMap[String, Long]()
-    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
-      override def onSuccess(funcName: String,
-                             qe: org.apache.spark.sql.execution.QueryExecution,
-                             durationNs: Long): Unit =
-        qe.observedMetrics.foreach { case (n, row) =>
-          if (row.length > 0 && row.get(0).isInstanceOf[Long]) observed.put(n, row.getLong(0))
-        }
-      override def onFailure(funcName: String,
-                             qe: org.apache.spark.sql.execution.QueryExecution,
-                             exception: Exception): Unit = ()
-    })
+    val observed = Observed.register(spark)
     val fn = graft.SparkEntry.queries(name)
     val times = (0 until reps).map { _ =>
       val t0 = System.nanoTime()
@@ -31,7 +20,7 @@ object QBench {
       (System.nanoTime() - t0) / 1e9
     }
     println(s"$name: " + times.map(t => f"$t%.2f").mkString(" "))
-    Thread.sleep(500) // async listener bus
+    Observed.drain(spark)
     import scala.jdk.CollectionConverters._
     if (!observed.isEmpty)
       println(s"$name observed: " + observed.asScala.toSeq.sortBy(_._1)

@@ -488,8 +488,16 @@ object SpatialJoin {
   private[graft] def planarCellJoin(points: DataFrame, queries: DataFrame,
                                     deg: Double, bits: Int): DataFrame = {
     val b = publishBits(points, if (bits == AUTO_BITS) bitsForDegrees(deg) else bits)
-    val (bx0, by0) = cellCols(col("qlon") - lit(deg), col("qlat") - lit(deg), b)
-    val (bx1, by1) = cellCols(col("qlon") + lit(deg), col("qlat") + lit(deg), b)
+    // absolute rounding guard: the box endpoints qlon±deg are ROUNDED
+    // floats, so a point could pass the float dist² < deg² filter yet sit
+    // a half-ulp (~1.4e-14 at |lon| ≤ 180) outside the rounded box and one
+    // cell off the cover — widen by 1e-12° (orders above the error, far
+    // below any meaningful radius) so candidates stay a strict superset of
+    // the float-distance disk at every schedule, which the kNN rounds'
+    // completeness proof requires with zero margin otherwise.
+    val degW = deg + 1e-12
+    val (bx0, by0) = cellCols(col("qlon") - lit(degW), col("qlat") - lit(degW), b)
+    val (bx1, by1) = cellCols(col("qlon") + lit(degW), col("qlat") + lit(degW), b)
     val qCells = queries
       .withColumn("cx", explode(sequence(bx0, bx1)))
       .withColumn("cy", explode(sequence(by0, by1)))

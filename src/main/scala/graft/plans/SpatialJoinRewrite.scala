@@ -134,11 +134,19 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           else {
             // 32-bit semantic hashes collide at memo scale — pair them
             // with the canonicalized-tree + source-paths digest (the
-            // SAME planKey scheme as the DataFrame API's memo)
+            // SAME planKey scheme as the DataFrame API's memo). The
+            // bound-expression half is keyed POSITIONALLY: expression-level
+            // canonicalization keeps AttributeReference exprIds — fresh on
+            // every analysis — so a digest of the raw expressions would
+            // miss the memo on every re-built query (bench reps, repeated
+            // SQL) and re-run the stats job each time; binding to ordinals
+            // in the box side's output makes equal-shaped queries key equal
+            val boundExprs = Seq(bx.lower, bx.upper, by.lower, by.upper).map { e =>
+              org.apache.spark.sql.catalyst.expressions.BindReferences
+                .bindReference(e, boxSide.output).toString
+            }.mkString(",")
             val key = "rule|" + graft.join.SpatialJoin.planKey(boxSide) +
-              "|" + Seq(bx.lower, bx.upper, by.lower, by.upper)
-                .map(e => e.semanticHash().toString + ":" +
-                  graft.join.SpatialJoin.planDigest(e.canonicalized.toString)).mkString(",")
+              "|" + graft.join.SpatialJoin.planDigest(boundExprs)
             graft.join.SpatialJoin.BitsMemo.getOrCompute(key) {
               val spark = SparkSession.active
               val proj = Project(Seq(

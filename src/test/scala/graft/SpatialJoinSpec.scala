@@ -840,4 +840,38 @@ class SpatialJoinSpec extends AnyFunSuite {
     val coarse = SpatialJoin.bitsForBoxes(spark.read.parquet(s"$dir/boxes"))
     assert(coarse < fine, s"post-clear recompute still served $coarse")
   }
+
+  test("rule-path BitsMemo hits across RE-BUILT queries (positional expression keys)") {
+    import spark.implicits._
+    // expression-level canonicalization keeps exprIds (fresh per analysis);
+    // the rule's memo key binds the bound-expressions to ordinals in the
+    // box side's output, so the same SQL re-built from scratch must HIT
+    // the memo instead of re-running the stats job every bench rep
+    val dir = java.nio.file.Files.createTempDirectory("rulememo").toString
+    spark.range(2000).map(i => (i, (i % 337).toDouble - 170.0, (i % 157).toDouble - 80.0))
+      .toDF("id", "lon", "lat").write.mode("overwrite").parquet(s"$dir/pts")
+    spark.range(30).map { i =>
+      val x = (i % 30).toDouble; val y = (i % 15).toDouble
+      (i, x, y, x + 0.5, y + 0.4)
+    }.toDF("rid", "minx", "miny", "maxx", "maxy")
+      .write.mode("overwrite").parquet(s"$dir/boxes")
+    graft.plans.SpatialPlanner.enable(spark)
+    try {
+      def build() = spark.read.parquet(s"$dir/pts")
+        .join(spark.read.parquet(s"$dir/boxes"),
+          col("lon") >= col("minx") && col("lon") <= col("maxx") &&
+            col("lat") >= col("miny") && col("lat") <= col("maxy"))
+      graft.join.SpatialJoin.BitsMemo.clear()
+      val m0 = graft.join.SpatialJoin.BitsMemo.missCount
+      val h0 = graft.join.SpatialJoin.BitsMemo.hitCount
+      assert(build().queryExecution.executedPlan.toString.contains("__graft_gx"))
+      val m1 = graft.join.SpatialJoin.BitsMemo.missCount
+      assert(m1 == m0 + 1, "first build must run the stats job exactly once")
+      assert(build().queryExecution.executedPlan.toString.contains("__graft_gx"))
+      assert(graft.join.SpatialJoin.BitsMemo.missCount == m1,
+        "re-built identical query re-ran the stats job — memo key not stable")
+      assert(graft.join.SpatialJoin.BitsMemo.hitCount > h0)
+    } finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == graft.plans.SpatialJoinRewrite)
+  }
 }
