@@ -18,7 +18,9 @@ import org.apache.spark.sql.SparkSession
   *       h3-covering R [-o] [--compact] | h3-top-down-covering MIN MAX [-o] |
   *       h3-parent R | h3-children R |
   *       h3-resolution | h3-to-str | h3-from-str | bbox [--embed] |
-  *       shp PATH | fgb-write PATH | fgb-read PATH [--bbox a,b,c,d]
+  *       shp PATH | fgb-write PATH | fgb-read PATH [--bbox a,b,c,d] |
+  *       whereami   (transport-injected: GEOQ_IP_JSON or stdin is the
+  *                   ip-api.com response body; see ops/WhereAmI)
   */
 object GeoqCli {
   def main(args: Array[String]): Unit = {
@@ -146,6 +148,14 @@ object GeoqCli {
         }
       case "h3-resolution" :: Nil =>
         lines.foreach(l => println(graft.index.H3.resolution(graft.index.H3.fromString(l.trim))))
+      case "whereami" :: Nil =>
+        // transport-injected twin: the geolocation response body comes
+        // from GEOQ_IP_JSON (or stdin); see ops/WhereAmI for the contract
+        val body = sys.env.getOrElse("GEOQ_IP_JSON", lines.mkString("\n"))
+        graft.ops.WhereAmI.fromResponse(body) match {
+          case Right(gj)  => println(gj)
+          case Left(err)  => System.err.println(err)
+        }
       case "h3-parent" :: res :: Nil =>
         lines.foreach(l => println(graft.index.H3.toString(
           graft.index.H3.cellToParent(graft.index.H3.fromString(l.trim), res.toInt))))

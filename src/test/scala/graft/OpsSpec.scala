@@ -126,4 +126,25 @@ class OpsSpec extends AnyFunSuite {
     }
     assert(seen == (0 to 8).toSet, s"elimination counts seen: $seen")
   }
+  test("whereami twin: the reference decode/format/error contract (transport injected)") {
+    import graft.ops.WhereAmI
+    // success arm: GeoJSON geometry of Point(lon, lat), canonical form
+    assert(WhereAmI.fromResponse(
+      """{"status":"success","lat":34.0522,"lon":-118.2437,"city":"Los Angeles"}""") ==
+      Right("""{"coordinates":[-118.2437,34.0522],"type":"Point"}"""))
+    // serde as_f64 coerces integers
+    assert(WhereAmI.fromResponse("""{"lat":34,"lon":-118}""") ==
+      Right("""{"coordinates":[-118.0,34.0],"type":"Point"}"""))
+    // ...but NOT numeric strings (stricter than json-munge heuristic 1)
+    assert(WhereAmI.fromResponse("""{"lat":"34.05","lon":-118.2}""") ==
+      Left("""Invalid IP location response: {"lat":"34.05","lon":-118.2}"""))
+    // missing lat/lon -> invalid-response arm, canonical compact echo
+    assert(WhereAmI.fromResponse("""{"status":"fail","message":"private range"}""") ==
+      Left("""Invalid IP location response: {"message":"private range","status":"fail"}"""))
+    // non-object JSON indexes to null in serde -> same arm
+    assert(WhereAmI.fromResponse("[1,2]") ==
+      Left("""Invalid IP location response: [1,2]"""))
+    // unparseable body -> IPGeolocationError (the reqwest/serde error arm)
+    intercept[GeoqException](WhereAmI.fromResponse("not json {"))
+  }
 }
