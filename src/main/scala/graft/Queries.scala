@@ -849,6 +849,65 @@ object Queries {
       .orderBy("cell")
   }
 
+  /** BACKWARD AS-OF JOIN under the driver gate: every event looks up the
+    * latest "update" row (every 13th event, per user) at or before its
+    * own timestamp — the point-in-time feature-store lookup. The engine
+    * side is [[graft.join.AsOf.joinBackward]] (tag → union → one
+    * last-non-null window per user: ONE shuffle, no amplification); the
+    * oracle is DuckDB's native `ASOF JOIN`, so the two independent
+    * implementations of the semantics must agree row-for-row.
+    * (user_id, ts) is distinct at every tier — no tie ambiguity. */
+  def q58AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val updates = ev.filter(col("event_id") % 13 === 0)
+      .select(col("user_id"), col("ts").as("uts"), col("event_id").as("update_id"))
+    graft.join.AsOf.joinBackward(ev, updates, "user_id", "ts", "uts")
+      .select("event_id", "update_id")
+      .orderBy("event_id")
+  }
+
+  /** 1-D INTERVAL (time-range) join under the driver gate: events ×
+    * nation-derived validity windows (start hour = 29·key mod 720 from
+    * 2024-01-01, length 3–21 h — all exact epoch-microsecond integer
+    * arithmetic, mirrored by make_timestamp in the oracle) through the
+    * bucket-keyed [[graft.join.IntervalJoin]]; the oracle is the plain
+    * range-predicate join. A pair matches exactly once (the event keys to
+    * ONE bucket), so no dedupe step exists to hide candidate bugs. */
+  def q59IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val base = 1704067200000000L // 2024-01-01T00:00:00Z µs
+    val hour = 3600000000L
+    val startH = col("n_nationkey") * 29 % 720
+    val lenH = (col("n_nationkey") % 7 + 1) * 3
+    val ivs = spark.read.parquet(s"$dir/nation.parquet").select(
+      col("n_nationkey").cast("long").as("rid"),
+      timestamp_micros(lit(base) + startH.cast("long") * hour).as("start"),
+      timestamp_micros(lit(base) + (startH + lenH).cast("long") * hour).as("end"))
+    val pts = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id").as("id"), col("ts").as("t"))
+    graft.join.IntervalJoin.joinPointsInIntervals(pts, ivs)
+      .orderBy("id", "rid")
+  }
+
+  /** HLL distinct-count sketch under the driver gate — the gate hashes
+    * ALL 256 REGISTERS (integer-exact; the oracle recomputes register and
+    * rank per distinct value with the same 32-bit multiplicative hashes
+    * and an unrolled leading-zeros CASE), not the float estimate, so one
+    * flipped register bit anywhere in reduce/merge/partial-agg fails the
+    * hash. Input: (event_id·37) mod 2²⁰ — tier-dependent cardinality with
+    * wraparound collisions at sf0.1. The float estimate is unit-tested
+    * against planted true cardinalities in KernelSpec instead. */
+  def q60HllSketch(spark: SparkSession, dir: String): DataFrame = {
+    val hll = udaf(new graft.functions.HllAggregator, org.apache.spark.sql.Encoders.scalaLong)
+    val regsRow = spark.read.parquet(s"$dir/events.parquet")
+      .select((col("event_id") * 37 % 1048576).as("v"))
+      .agg(hll(col("v")).as("regs"))
+    val toArr = udf((b: Array[Byte]) => b.map(x => x & 0xFF))
+    regsRow.select(posexplode(toArr(col("regs"))))
+      .select(col("pos").as("register"), col("col").as("rank"))
+      .orderBy("register")
+  }
+
   /** Exact GEODESIC kNN (k=5, Vincenty meters) via radius rounds with the
     * completeness proof + brute-force fallback — the geodesic counterpart
     * of q25's euclidean kNN. Oracle: full cross product through the

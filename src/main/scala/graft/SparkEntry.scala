@@ -77,6 +77,9 @@ object SparkEntry {
     "q55_topdown_cover" -> (Queries.q55TopdownCover _),
     "q56_natural_small" -> (Queries.q56NaturalSmall _),
     "q57_bucketed_join" -> (Queries.q57BucketedJoin _),
+    "q58_asof_join" -> (Queries.q58AsofJoin _),
+    "q59_interval_join" -> (Queries.q59IntervalJoin _),
+    "q60_hll_sketch" -> (Queries.q60HllSketch _),
   )
 
   // ---------------- oracle SQL ----------------
@@ -725,6 +728,36 @@ object SparkEntry {
          |FROM c a JOIN c b ON a.cell = b.cell AND b.id % 3 = 0
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
+
+    "q58_asof_join" -> // oracle = DuckDB's NATIVE ASOF JOIN — an independent implementation of the semantics
+      """SELECT e.event_id, u.update_id
+        |FROM events e ASOF JOIN (
+        |  SELECT user_id, ts AS uts, event_id AS update_id
+        |  FROM events WHERE event_id % 13 = 0) u
+        |ON e.user_id = u.user_id AND e.ts >= u.uts
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q59_interval_join" -> // exact epoch-microsecond integer arithmetic on both engines
+      """WITH iv AS (SELECT CAST(n_nationkey AS BIGINT) AS rid,
+        |    make_timestamp(1704067200000000 + (n_nationkey * 29 % 720) * 3600000000) AS s,
+        |    make_timestamp(1704067200000000 +
+        |      ((n_nationkey * 29 % 720) + (n_nationkey % 7 + 1) * 3) * 3600000000) AS e
+        |  FROM nation)
+        |SELECT ev.event_id AS id, iv.rid
+        |FROM events ev JOIN iv ON ev.ts >= iv.s AND ev.ts < iv.e
+        |ORDER BY id, rid""".stripMargin,
+
+    "q60_hll_sketch" -> // register/rank recomputed per distinct value; unrolled leading-zeros CASE
+      """WITH vals AS (SELECT DISTINCT (event_id * 37) % 1048576 AS v FROM events),
+        |m1 AS (SELECT v, (v * 2654435761) & 4294967295 AS a, (v * 2246822519) & 4294967295 AS b FROM vals),
+        |m2 AS (SELECT v, xor(a, a >> 16) AS a, xor(b, b >> 16) AS b FROM m1),
+        |m3 AS (SELECT v, (a * 49979693) & 4294967295 AS a, (b * 57885161) & 4294967295 AS b FROM m2),
+        |h AS (SELECT xor(a, a >> 15) >> 24 AS reg, xor(b, b >> 15) AS h2 FROM m3),
+        |r AS (SELECT reg, max(CASE RANK_CASE ELSE 33 END) AS rnk FROM h GROUP BY reg)
+        |SELECT gs.register, COALESCE(r.rnk, 0) AS rank
+        |FROM (SELECT unnest(range(0, 256)) AS register) gs
+        |LEFT JOIN r ON r.reg = gs.register
+        |ORDER BY register""".stripMargin.replace("RANK_CASE", "WHEN h2 >= 2147483648 THEN 1 WHEN h2 >= 1073741824 THEN 2 WHEN h2 >= 536870912 THEN 3 WHEN h2 >= 268435456 THEN 4 WHEN h2 >= 134217728 THEN 5 WHEN h2 >= 67108864 THEN 6 WHEN h2 >= 33554432 THEN 7 WHEN h2 >= 16777216 THEN 8 WHEN h2 >= 8388608 THEN 9 WHEN h2 >= 4194304 THEN 10 WHEN h2 >= 2097152 THEN 11 WHEN h2 >= 1048576 THEN 12 WHEN h2 >= 524288 THEN 13 WHEN h2 >= 262144 THEN 14 WHEN h2 >= 131072 THEN 15 WHEN h2 >= 65536 THEN 16 WHEN h2 >= 32768 THEN 17 WHEN h2 >= 16384 THEN 18 WHEN h2 >= 8192 THEN 19 WHEN h2 >= 4096 THEN 20 WHEN h2 >= 2048 THEN 21 WHEN h2 >= 1024 THEN 22 WHEN h2 >= 512 THEN 23 WHEN h2 >= 256 THEN 24 WHEN h2 >= 128 THEN 25 WHEN h2 >= 64 THEN 26 WHEN h2 >= 32 THEN 27 WHEN h2 >= 16 THEN 28 WHEN h2 >= 8 THEN 29 WHEN h2 >= 4 THEN 30 WHEN h2 >= 2 THEN 31 WHEN h2 >= 1 THEN 32"),
 
     "q47_box_join" ->
       s"""WITH $P,

@@ -1,0 +1,113 @@
+package graft
+
+import graft.join.{AsOf, IntervalJoin}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class JoinOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asof backward join == brute force; inclusive bound; inner vs outer") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 00:05:00")),
+      (2L, 10L, ts("2024-01-01 00:10:00")), // EXACTLY at an update time
+      (3L, 10L, ts("2024-01-01 00:00:30")), // before any update → unmatched
+      (4L, 20L, ts("2024-01-01 02:00:00")),
+      (5L, 30L, ts("2024-01-01 01:00:00"))  // user with no updates at all
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 00:01:00"), 100L),
+      (10L, ts("2024-01-01 00:10:00"), 101L),
+      (10L, ts("2024-01-01 00:30:00"), 102L),
+      (20L, ts("2024-01-01 01:00:00"), 200L)
+    ).toDF("user_id", "uts", "update_id")
+
+    val got = AsOf.joinBackward(left, right, "user_id", "ts", "uts")
+      .select("event_id", "update_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // brute force: rank prior updates per event, keep the latest
+    val w = Window.partitionBy("event_id").orderBy(col("uts").desc)
+    val brute = left.join(right, Seq("user_id"))
+      .filter(col("uts") <= col("ts"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select("event_id", "update_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == brute)
+    assert(got == Seq((1L, 100L), (2L, 101L), (4L, 200L))) // inclusive ≤ at event 2
+    // outer keeps unmatched lefts with null payload
+    val outer = AsOf.joinBackward(left, right, "user_id", "ts", "uts", inner = false)
+    assert(outer.count() == 5)
+    assert(outer.filter(col("update_id").isNull).select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 5L))
+    // column collision rejected loudly
+    val bad = right.withColumnRenamed("update_id", "ts")
+    intercept[IllegalArgumentException](AsOf.joinBackward(left, bad, "user_id", "ts", "uts"))
+    // plan shape: NO join operator at all — one window over a union
+    val plan = AsOf.joinBackward(left, right, "user_id", "ts", "uts")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("interval join == brute force; auto width from stats; pinned width agrees; degenerate intervals") {
+    import spark.implicits._
+    val base = 1704067200000000L
+    val pts = spark.range(2000).select(col("id"),
+      timestamp_micros(lit(base) + col("id") * 97000000L).as("t")) // 97 s apart
+    val ivs = spark.range(40).select(col("id").as("rid"),
+        timestamp_micros(lit(base) + (col("id") * 7919 % 1800).cast("long") * 100000000L).as("start"))
+      .withColumn("end", timestamp_micros(
+        unix_micros(col("start")) + (col("rid") % 5 + 1) * 600000000L)) // 10-50 min
+      // degenerate + inverted rows: must match NOTHING and not explode
+      .unionByName(Seq(
+        (97L, ts("2024-01-02 00:00:00"), ts("2024-01-02 00:00:00")),
+        (98L, ts("2024-01-03 00:00:00"), ts("2024-01-02 00:00:00")))
+        .toDF("rid", "start", "end"))
+    val got = IntervalJoin.joinPointsInIntervals(pts, ivs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val brute = pts.crossJoin(ivs)
+      .filter(col("t") >= col("start") && col("t") < col("end"))
+      .select("id", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == brute && got.nonEmpty)
+    assert(!got.exists(p => p._2 == 97L || p._2 == 98L))
+    // the auto width was published and is the stats-derived power
+    val pow = spark.conf.get(IntervalJoin.LAST_POW_KEY).toInt
+    assert(pow >= 1 && pow <= 62)
+    // pinned widths agree (exact at every granularity; width only moves cost)
+    for (p <- Seq(24, 28, 34)) {
+      val pinned = IntervalJoin.joinPointsInIntervals(pts, ivs, widthPow = p)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(pinned == got, s"widthPow=$p diverged")
+    }
+    // formula anchors: ~12 h median → ~4.8 h buckets; tiny intervals clamp
+    assert(IntervalJoin.widthPowForLens(4.32e10, 7.56e10) == 34)
+    assert(IntervalJoin.widthPowForLens(1.0, 1.0) == 1)
+    // plan: equi-join on the bucket key, no nested loop
+    val plan = IntervalJoin.joinPointsInIntervals(pts, ivs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("__b"), plan)
+  }
+
+  test("interval join: a matching pair appears exactly once even under overlapping intervals") {
+    import spark.implicits._
+    val pts = Seq((1L, ts("2024-01-01 06:00:00"))).toDF("id", "t")
+    val ivs = Seq(
+      (1L, ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00")),
+      (2L, ts("2024-01-01 05:00:00"), ts("2024-01-01 07:00:00"))
+    ).toDF("rid", "start", "end")
+    val got = IntervalJoin.joinPointsInIntervals(pts, ivs, widthPow = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == Seq((1L, 1L), (1L, 2L))) // once per interval, no dupes
+  }
+}
