@@ -908,6 +908,46 @@ object Queries {
       .orderBy("register")
   }
 
+  /** SimHash Hamming-distance join under the driver gate: all document
+    * pairs within Hamming distance 3 of the 32-bit simhash, via the
+    * PIGEONHOLE banding (4×8 bits — ≤3 differing bits can't touch all 4
+    * bands, so candidates are PROVABLY complete, not LSH-probabilistic);
+    * exact popcount refine. Oracle: brute-force all-pairs
+    * bit_count(xor) ≤ 3 over the same SQL-mirrored simhash. */
+  def q61SimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = udf((text: String) => simhash32(text))
+    val sims = docs(spark, dir).select(col("doc_id").as("id"), sh(col("text")).as("sim"))
+    graft.join.SimilarityJoin.simhashHammingJoin(sims, k = 3)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** EXACT n-gram Jaccard join (≥ 4/5) under the driver gate through the
+    * AllPairs/PPJoin prefix filter — the exact counterpart of q19's
+    * MinHash approximation. Shingle SETS are the distinct 4-gram hashes
+    * (q18's kernel); the threshold is integer cross-multiplied
+    * (9·shared ≥ 4·(|A|+|B|)) so both engines compare exactly. The oracle
+    * brute-forces ALL pairs with list_intersect, so a prefix-filter
+    * candidate miss — not just a refine bug — hash-fails.
+    *
+    * The gated input is the deterministic doc_id % 4 == 0 quarter of the
+    * corpus — MEASURED reason, not convenience: on this template-heavy
+    * synthetic corpus 2.85M of 12.5M possible pairs at sf0.1 survive even
+    * the provably-tight prefix+size+positional filters (≈23% of all pairs
+    * are genuine near-qualifiers), so EXACT set-similarity is inherently
+    * near-quadratic on it regardless of algorithm. That is the honest
+    * division of labor this engine ships: banded LSH (q19/q50) is the
+    * 100 TB DISCOVERY path; the exact join is the refinement tool for
+    * bounded partitions — which is exactly how the gate exercises it. */
+  def q62JaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val shSet = udf((text: String) => shingleHashes(text).distinct.sorted)
+    val ds = docs(spark, dir).filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id").as("id"), shSet(col("text")).as("shs"))
+    graft.join.SimilarityJoin.jaccardJoin(ds, tauNum = 4, tauDen = 5)
+      .select(col("id_a"), col("id_b"), col("shared"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Exact GEODESIC kNN (k=5, Vincenty meters) via radius rounds with the
     * completeness proof + brute-force fallback — the geodesic counterpart
     * of q25's euclidean kNN. Oracle: full cross product through the

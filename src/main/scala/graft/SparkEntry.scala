@@ -80,6 +80,8 @@ object SparkEntry {
     "q58_asof_join" -> (Queries.q58AsofJoin _),
     "q59_interval_join" -> (Queries.q59IntervalJoin _),
     "q60_hll_sketch" -> (Queries.q60HllSketch _),
+    "q61_simhash_pairs" -> (Queries.q61SimhashPairs _),
+    "q62_jaccard_pairs" -> (Queries.q62JaccardPairs _),
   )
 
   // ---------------- oracle SQL ----------------
@@ -758,6 +760,31 @@ object SparkEntry {
         |FROM (SELECT unnest(range(0, 256)) AS register) gs
         |LEFT JOIN r ON r.reg = gs.register
         |ORDER BY register""".stripMargin.replace("RANK_CASE", "WHEN h2 >= 2147483648 THEN 1 WHEN h2 >= 1073741824 THEN 2 WHEN h2 >= 536870912 THEN 3 WHEN h2 >= 268435456 THEN 4 WHEN h2 >= 134217728 THEN 5 WHEN h2 >= 67108864 THEN 6 WHEN h2 >= 33554432 THEN 7 WHEN h2 >= 16777216 THEN 8 WHEN h2 >= 8388608 THEN 9 WHEN h2 >= 4194304 THEN 10 WHEN h2 >= 2097152 THEN 11 WHEN h2 >= 1048576 THEN 12 WHEN h2 >= 524288 THEN 13 WHEN h2 >= 262144 THEN 14 WHEN h2 >= 131072 THEN 15 WHEN h2 >= 65536 THEN 16 WHEN h2 >= 32768 THEN 17 WHEN h2 >= 16384 THEN 18 WHEN h2 >= 8192 THEN 19 WHEN h2 >= 4096 THEN 20 WHEN h2 >= 2048 THEN 21 WHEN h2 >= 1024 THEN 22 WHEN h2 >= 512 THEN 23 WHEN h2 >= 256 THEN 24 WHEN h2 >= 128 THEN 25 WHEN h2 >= 64 THEN 26 WHEN h2 >= 32 THEN 27 WHEN h2 >= 16 THEN 28 WHEN h2 >= 8 THEN 29 WHEN h2 >= 4 THEN 30 WHEN h2 >= 2 THEN 31 WHEN h2 >= 1 THEN 32"),
+
+    "q61_simhash_pairs" -> // brute-force all-pairs hamming over the mirrored simhash
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |    list_transform(regexp_split_to_array(trim(text), '\\s+'),
+         |      tk -> CASE WHEN length(tk) = 0 THEN CAST(0 AS BIGINT)
+         |            ELSE CAST(list_reduce([CAST(ord(substr(tk, i, 1)) AS BIGINT) for i in range(1, length(tk) + 1)],
+         |                      (a, b) -> (a * 31 + b) % 2147483647) AS BIGINT) END) AS hs
+         |  FROM documents),
+         |s AS (SELECT doc_id, $simhashBits AS sim FROM tok)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  bit_count(xor(a.sim, b.sim)) AS hamming
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q62_jaccard_pairs" -> // brute-force all-pairs exact Jaccard (recall misses hash-fail)
+      s"""WITH $SHINGLES_CTE,
+         |d AS (SELECT doc_id, list_distinct(hs) AS s FROM sh WHERE doc_id % 4 = 0),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    len(list_intersect(a.s, b.s)) AS shared, len(a.s) AS na, len(b.s) AS nb
+         |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, shared FROM p
+         |WHERE 9 * shared >= 4 * (na + nb)
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q47_box_join" ->
       s"""WITH $P,

@@ -1,0 +1,139 @@
+package graft.join
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact similarity JOINS for the dedup family — both with PROVABLY
+  * complete candidate generation (unlike LSH, which is probabilistic for
+  * non-planted pairs, these two never miss a qualifying pair):
+  *
+  *  - [[simhashHammingJoin]]: all pairs within Hamming distance k of a
+  *    b-bit fingerprint, by the PIGEONHOLE banding — split the bits into
+  *    `bands` > k disjoint bands; ≤ k differing bits cannot touch every
+  *    band, so some band matches exactly ⇒ the banded equi-join is a
+  *    complete candidate set, refined by the exact popcount.
+  *  - [[jaccardJoin]]: all pairs with set-Jaccard ≥ τ, by the AllPairs /
+  *    PPJoin PREFIX FILTER (Bayardo et al. 2007; Xiao et al. 2008): under
+  *    ANY global total order of elements, if J(A,B) ≥ τ then the SMALLEST
+  *    shared element sits within the first |A|−⌈τ|A|⌉+1 elements of A and
+  *    likewise for B (fewer than ⌈τ·n⌉ elements may follow it on either
+  *    side, while the overlap is ≥ ⌈τ·n⌉) — so indexing only each set's
+  *    prefix still yields every qualifying pair. The order used is
+  *    (global frequency, value) ascending, which puts the RAREST elements
+  *    in the prefixes and keeps the inverted-index buckets small — the
+  *    measured full inverted index over the documents table priced 1.5e9
+  *    joined rows at sf0.1; the prefix index is the difference between a
+  *    textbook exact join and an unusable one at 100 TB.
+  */
+object SimilarityJoin {
+
+  /** sims: (id, sim) with `sim` a fingerprint in the low `bits` bits.
+    * Returns (id_a, id_b, hamming) for all pairs with hamming ≤ k.
+    * Requires bands > k (the pigeonhole) and bands | bits. */
+  def simhashHammingJoin(sims: DataFrame, k: Int,
+                         bits: Int = 32, bands: Int = 4): DataFrame = {
+    require(bands > k, s"pigeonhole needs bands ($bands) > k ($k)")
+    require(bits % bands == 0, s"bands must divide bits")
+    val w = bits / bands
+    val mask = (1L << w) - 1
+    val banded = (0 until bands).map { b =>
+      sims.select(col("id"), lit(b).as("band"),
+        shiftright(col("sim"), b * w).bitwiseAND(lit(mask)).as("bkey"))
+    }.reduce(_ unionByName _)
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .observe("simhash_join_band_rows", count(lit(1)).as("rows")) // below the dedup exchange: executes once
+      .distinct()
+    cand
+      .join(sims.select(col("id").as("id_a"), col("sim").as("__sa")), Seq("id_a"))
+      .join(sims.select(col("id").as("id_b"), col("sim").as("__sb")), Seq("id_b"))
+      .withColumn("hamming", bit_count(col("__sa").bitwiseXOR(col("__sb"))))
+      .filter(col("hamming") <= k)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Exact two-pointer intersection count over SORTED long arrays with
+    * the PPJoin-style early abort: once the remaining elements cannot
+    * reach `oreq` the pair is provably below threshold and the scan stops
+    * (-1). The candidate corpus is template-heavy — most candidates fail,
+    * and they fail after ~(n − oreq) mismatches instead of a full
+    * hash-set intersection. */
+  private def primitiveLongs(s: Seq[Long]): Array[Long] = s match {
+    // catalyst hands primitive arrays as ArraySeq.ofLong — unwrap, or the
+    // generic Seq.apply boxes every element of every candidate pair
+    case a: scala.collection.immutable.ArraySeq.ofLong => a.unsafeArray
+    case other => other.toArray
+  }
+
+  private val sharedCountUdf = udf((as: Seq[Long], bs: Seq[Long], oreq: Int) => {
+    val a = primitiveLongs(as); val b = primitiveLongs(bs)
+    val na = a.length; val nb = b.length
+    var i = 0; var j = 0; var shared = 0
+    var alive = true
+    while (alive && i < na && j < nb) {
+      val x = a(i); val y = b(j)
+      if (x == y) { shared += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+      if (shared + math.min(na - i, nb - j) < oreq) alive = false
+    }
+    if (alive && shared >= oreq) shared else -1
+  })
+
+  /** docs: (id, shs) with `shs` an array<long> SET (caller dedups; sorted
+    * internally). Returns (id_a, id_b, shared) for ALL pairs with
+    * |A∩B| / |A∪B| ≥ tauNum/tauDen — exact (integer cross-multiplied:
+    * shared ≥ oreq = ⌈num·(|A|+|B|)/(num+den)⌉, equivalent to
+    * (num+den)·shared ≥ num·(|A|+|B|)).
+    *
+    * Candidate pruning, all completeness-preserving (the smallest shared
+    * element s₁ generates a hit that provably survives every filter —
+    * in A, the other shared elements all follow s₁, so
+    * 1 + (|A| − rank_A(s₁)) ≥ o ≥ every bound below; likewise B):
+    *  1. prefix filter: only the first |X| − ⌈τ|X|⌉ + 1 elements index;
+    *  2. size filter: τ·|B| ≤ |A| ≤ |B|/τ (o ≤ min and o ≥ τ·max);
+    *  3. positional filter: a hit at ranks (rₐ, r_b) is kept only if
+    *     1 + min(|A|−rₐ, |B|−r_b) ≥ oreq — the max overlap this hit
+    *     still allows.
+    * The exact refine decides membership for every surviving candidate. */
+  def jaccardJoin(docs: DataFrame, tauNum: Int, tauDen: Int): DataFrame = {
+    require(tauNum > 0 && tauNum < tauDen, "need 0 < tau < 1")
+    val ds = docs.select(col("id"), sort_array(col("shs")).as("shs"),
+      size(col("shs")).as("nsh"))
+    val ex = ds.select(col("id"), col("nsh"), explode(col("shs")).as("sh"))
+    // global order = (frequency, value) ascending: one bounded agg job;
+    // rarest elements land in the prefixes
+    val freq = ex.groupBy("sh").agg(count(lit(1)).as("__cnt"))
+    // prefix length n − ⌈τ·n⌉ + 1 (⌈a/b⌉ = (a+b−1) div b, all integer)
+    val ceilTauN = ((col("nsh") * tauNum + tauDen - 1) / tauDen).cast("int")
+    val wOrd = Window.partitionBy("id").orderBy(col("__cnt").asc, col("sh").asc)
+    val prefix = ex.join(freq, Seq("sh"))
+      .withColumn("__rk", row_number().over(wOrd))
+      .filter(col("__rk") <= col("nsh") - ceilTauN + 1)
+      .select("id", "nsh", "__rk", "sh")
+    // Spark `/` is DOUBLE division — floor explicitly, or the ceil becomes
+    // the raw quotient and the positional filter turns stricter than the
+    // completeness proof allows
+    def oreq(naCol: org.apache.spark.sql.Column, nbCol: org.apache.spark.sql.Column) =
+      floor(((naCol + nbCol) * tauNum + tauNum + tauDen - 1) / (tauNum + tauDen)).cast("int")
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id") &&
+          col("a.nsh") * tauDen >= col("b.nsh") * tauNum &&
+          col("b.nsh") * tauDen >= col("a.nsh") * tauNum &&
+          lit(1) + least(col("a.nsh") - col("a.__rk"), col("b.nsh") - col("b.__rk")) >=
+            oreq(col("a.nsh"), col("b.nsh")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .observe("jaccard_join_hit_rows", count(lit(1)).as("rows")) // below the dedup exchange: executes once
+      .distinct()
+    cand
+      .join(ds.select(col("id").as("id_a"), col("shs").as("__A"), col("nsh").as("__na")), Seq("id_a"))
+      .join(ds.select(col("id").as("id_b"), col("shs").as("__B"), col("nsh").as("__nb")), Seq("id_b"))
+      .withColumn("shared",
+        sharedCountUdf(col("__A"), col("__B"), oreq(col("__na"), col("__nb")).cast("int")))
+      .filter(col("shared") >= oreq(col("__na"), col("__nb")))
+      .select("id_a", "id_b", "shared")
+  }
+}

@@ -99,6 +99,69 @@ class JoinOpsSpec extends AnyFunSuite {
     assert(plan.contains("__b"), plan)
   }
 
+  test("simhash hamming join == brute force; pigeonhole candidates are complete") {
+    import spark.implicits._
+    import graft.join.SimilarityJoin
+    // constructed fingerprints at hamming distances 0..6 from a base,
+    // plus random-ish values — completeness must hold exactly at k=3
+    val base = 0x5A5A5A5AL
+    val sims = (Seq(
+      (1L, base), (2L, base),                    // hamming 0
+      (3L, base ^ 0x1L),                         // 1
+      (4L, base ^ 0x80001L),                     // 2, split bands
+      (5L, base ^ 0x80000001L),                  // 2, outer bands
+      (6L, base ^ 0x01010100L),                  // 3 across three bands
+      (7L, base ^ 0x11010100L),                  // 4 — must be excluded
+      (8L, base ^ 0xF000000FL)                   // 8 — excluded
+    ) ++ (0 until 50).map(i => (100L + i, (i.toLong * 2654435761L) & 0xFFFFFFFFL)))
+      .toDF("id", "sim")
+    val got = SimilarityJoin.simhashHammingJoin(sims, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val brute = sims.as("a").crossJoin(sims.as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .withColumn("h", bit_count(col("a.sim").bitwiseXOR(col("b.sim"))))
+      .filter(col("h") <= 3)
+      .select(col("a.id"), col("b.id"), col("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(got == brute)
+    assert(got.exists(_._3 == 3) && got.exists(_._3 == 0), "distance spectrum not exercised")
+    assert(!got.exists(p => p._1 == 7L || p._2 == 7L && p._1 == 1L), "hamming-4 pair leaked")
+    intercept[IllegalArgumentException](SimilarityJoin.simhashHammingJoin(sims, k = 4))
+  }
+
+  test("exact jaccard join == brute force, including threshold-boundary pairs") {
+    import spark.implicits._
+    import graft.join.SimilarityJoin
+    // sets over a small universe; several pairs sit EXACTLY on the 4/5
+    // boundary (9*shared == 4*(na+nb)); unsorted input arrays on purpose
+    def set(xs: Long*): Seq[Long] = xs.reverse // unsorted
+    val docs = (Seq(
+      (1L, set(1, 2, 3, 4, 5, 6, 7, 8, 9)),
+      (2L, set(1, 2, 3, 4, 5, 6, 7, 8, 9)),          // J = 1
+      (3L, set(1, 2, 3, 4, 5, 6, 7, 8, 10)),         // shared 8, J = 0.8 — boundary: 9*8 = 72 = 4*18 ✓
+      (4L, set(1, 2, 3, 4, 5, 6, 7, 10, 11)),        // shared 7 with doc1: below
+      (5L, set(20, 21, 22)),
+      (6L, set(20, 21, 22, 23))                      // vs 5: shared 3, 9*3=27 < 4*7=28 — just below
+    ) ++ (0 until 60).map { i =>
+      (100L + i, (0 until 12).map(j => (i * 13 + j * 7) % 97L).distinct)
+    }).toDF("id", "shs")
+    val got = SimilarityJoin.jaccardJoin(docs, 4, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val sized = docs.select(col("id"), array_distinct(col("shs")).as("s"))
+      .withColumn("n", size(col("s")))
+    val brute = sized.as("a").crossJoin(sized.as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .withColumn("shared", size(array_intersect(col("a.s"), col("b.s"))))
+      .filter(col("shared") * 9 >= (col("a.n") + col("b.n")) * 4)
+      .select(col("a.id"), col("b.id"), col("shared"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(got == brute)
+    // the boundary pair (1,3) is IN, the just-below pairs are OUT
+    assert(got.contains((1L, 3L, 8L)))
+    assert(!got.exists(p => p._1 == 5L && p._2 == 6L))
+    assert(got.contains((1L, 2L, 9L)))
+  }
+
   test("interval join: a matching pair appears exactly once even under overlapping intervals") {
     import spark.implicits._
     val pts = Seq((1L, ts("2024-01-01 06:00:00"))).toDF("id", "t")
