@@ -32,6 +32,10 @@ object IntervalJoin {
   /** Observability: the last auto-chosen width power (2^pow µs). */
   val LAST_POW_KEY = "spark.graft.intervalJoin.lastWidthPow"
 
+  /** Per-interval covering-bucket cap for PINNED widths (the auto path
+    * bounds itself at ~65 via the max/64 stats rule). */
+  val MAX_COVER: Long = 1L << 20
+
   /** log2 bucket width from median/max interval lengths in µs, clamped
     * [1, 62] (a 2 µs floor keeps degenerate intervals from demanding
     * unbounded resolution; 62 keeps the shift in Long range). */
@@ -67,12 +71,20 @@ object IntervalJoin {
       .withColumn("__b", floor(unix_micros(col("t")) / w))
     // empty/inverted intervals match nothing — drop BEFORE the explode
     // (sequence() on an inverted range would walk it backwards)
+    val b0 = floor(unix_micros(col("start")) / w)
+    val b1 = floor((unix_micros(col("end")) - 1) / w)
+    // loud guard for CALLER-PINNED widths: the auto path's max/64 bound
+    // caps ~65 buckets per interval, but a pinned fine width against a
+    // long interval would demand an unbounded sequence (Spark errors past
+    // ~2^31 elements, with an opaque message) — fail with the fix instead
     val ivs = intervals.filter(col("end") > col("start"))
       .withColumn("start", col("start").cast("timestamp"))
       .withColumn("end", col("end").cast("timestamp"))
-      .withColumn("__b", explode(sequence(
-        floor(unix_micros(col("start")) / w),
-        floor((unix_micros(col("end")) - 1) / w))))
+      .withColumn("__b", explode(sequence(b0,
+        when(b1 - b0 < MAX_COVER, b1).otherwise(raise_error(concat(
+          lit(s"IntervalJoin: an interval covers >= $MAX_COVER buckets at widthPow=$p"
+            + " — raise widthPow or use AUTO_POW (interval ["),
+          col("start"), lit(", "), col("end"), lit("))")))))))
     ps.join(ivs, Seq("__b"))
       .filter(col("t") >= col("start") && col("t") < col("end"))
       .select(col("id"), col("rid"))

@@ -37,8 +37,14 @@ object SimilarityJoin {
     require(bits % bands == 0, s"bands must divide bits")
     val w = bits / bands
     val mask = (1L << w) - 1
+    // materialize the fingerprints ONCE (eager, lineage-truncating): the
+    // band union reads them `bands` times and the refine twice more — an
+    // un-materialized input would re-run the caller's fingerprint UDF and
+    // source scan 6×, the exact recompute q50 caches its signatures
+    // against
+    val s = sims.select(col("id"), col("sim")).localCheckpoint(true)
     val banded = (0 until bands).map { b =>
-      sims.select(col("id"), lit(b).as("band"),
+      s.select(col("id"), lit(b).as("band"),
         shiftright(col("sim"), b * w).bitwiseAND(lit(mask)).as("bkey"))
     }.reduce(_ unionByName _)
     val cand = banded.as("a").join(banded.as("b"),
@@ -48,8 +54,8 @@ object SimilarityJoin {
       .observe("simhash_join_band_rows", count(lit(1)).as("rows")) // below the dedup exchange: executes once
       .distinct()
     cand
-      .join(sims.select(col("id").as("id_a"), col("sim").as("__sa")), Seq("id_a"))
-      .join(sims.select(col("id").as("id_b"), col("sim").as("__sb")), Seq("id_b"))
+      .join(s.select(col("id").as("id_a"), col("sim").as("__sa")), Seq("id_a"))
+      .join(s.select(col("id").as("id_b"), col("sim").as("__sb")), Seq("id_b"))
       .withColumn("hamming", bit_count(col("__sa").bitwiseXOR(col("__sb"))))
       .filter(col("hamming") <= k)
       .select("id_a", "id_b", "hamming")
@@ -83,8 +89,9 @@ object SimilarityJoin {
     if (alive && shared >= oreq) shared else -1
   })
 
-  /** docs: (id, shs) with `shs` an array<long> SET (caller dedups; sorted
-    * internally). Returns (id_a, id_b, shared) for ALL pairs with
+  /** docs: (id, shs) with `shs` an array<long> of elements (deduped and
+    * sorted internally — set semantics are enforced, not assumed).
+    * Returns (id_a, id_b, shared) for ALL pairs with
     * |A∩B| / |A∪B| ≥ tauNum/tauDen — exact (integer cross-multiplied:
     * shared ≥ oreq = ⌈num·(|A|+|B|)/(num+den)⌉, equivalent to
     * (num+den)·shared ≥ num·(|A|+|B|)).
@@ -101,8 +108,15 @@ object SimilarityJoin {
     * The exact refine decides membership for every surviving candidate. */
   def jaccardJoin(docs: DataFrame, tauNum: Int, tauDen: Int): DataFrame = {
     require(tauNum > 0 && tauNum < tauDen, "need 0 < tau < 1")
-    val ds = docs.select(col("id"), sort_array(col("shs")).as("shs"),
-      size(col("shs")).as("nsh"))
+    // set semantics are ENFORCED here (dedup + sort), not left as a doc
+    // contract: duplicate elements would silently inflate |A| and the
+    // two-pointer count, flipping threshold decisions with no error.
+    // Materialized once (eager): the exploded index reads it twice (freq
+    // agg + prefix window) and the refine twice more.
+    val ds = docs.select(col("id"),
+        sort_array(array_distinct(col("shs"))).as("shs"))
+      .withColumn("nsh", size(col("shs")))
+      .localCheckpoint(true)
     val ex = ds.select(col("id"), col("nsh"), explode(col("shs")).as("sh"))
     // global order = (frequency, value) ascending: one bounded agg job;
     // rarest elements land in the prefixes

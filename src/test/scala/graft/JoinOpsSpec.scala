@@ -99,6 +99,19 @@ class JoinOpsSpec extends AnyFunSuite {
     assert(plan.contains("__b"), plan)
   }
 
+  test("interval join: a pinned width too fine for the intervals fails loudly, not opaquely") {
+    import spark.implicits._
+    val pts = Seq((1L, ts("2024-01-01 05:00:00"))).toDF("id", "t")
+    val ivs = Seq((1L, ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00")))
+      .toDF("rid", "start", "end")
+    val e = intercept[Exception] {
+      graft.join.IntervalJoin.joinPointsInIntervals(pts, ivs, widthPow = 1).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("IntervalJoin")), e.toString)
+  }
+
   test("simhash hamming join == brute force; pigeonhole candidates are complete") {
     import spark.implicits._
     import graft.join.SimilarityJoin
@@ -125,7 +138,9 @@ class JoinOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
     assert(got == brute)
     assert(got.exists(_._3 == 3) && got.exists(_._3 == 0), "distance spectrum not exercised")
-    assert(!got.exists(p => p._1 == 7L || p._2 == 7L && p._1 == 1L), "hamming-4 pair leaked")
+    // doc 7 is hamming-4 from docs 1/2 — no pair among them may appear
+    assert(!got.exists(p => (p._1 == 7L || p._2 == 7L) && (p._1 <= 2L || p._2 <= 2L)),
+      "hamming-4 pair leaked")
     intercept[IllegalArgumentException](SimilarityJoin.simhashHammingJoin(sims, k = 4))
   }
 
