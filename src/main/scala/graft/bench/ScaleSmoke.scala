@@ -77,6 +77,32 @@ object ScaleSmoke {
     val (tKnnP, nKnnP) = time(SpatialJoin.knn(pts, knnPQs, k = 5).count())
     val bKnnP = lastBits
 
+    // ---- temporal operators at 10M: the as-of lookup (one shuffle +
+    // per-key sort, no amplification) and the bucket-keyed interval join
+    // 1000 users and an update modulus CO-PRIME to the user modulus
+    // (gcd(7, 1000) = 1, so multiples of 7 cover every user residue):
+    // nearly every event finds a prior update and the per-key window
+    // sorts ~10k rows per user — the real as-of shape, not a mostly-
+    // dropped inner join (a modulus sharing factors with the user count
+    // silently covers 2% of users; measured before fixing)
+    val epoch0 = 1704067200000000L
+    val events = pts.select(col("id").as("event_id"),
+      (col("id") % 1000).as("user_id"),
+      timestamp_micros(lit(epoch0) + (col("id") * 16807 % 2592000) * 1000000L).as("ts"))
+    val updates = events.filter(col("event_id") % 7 === 0)
+      .select(col("user_id"), col("ts").as("uts"), col("event_id").as("update_id"))
+    val (tAsof, nAsof) = time(
+      graft.join.AsOf.joinBackward(events, updates, "user_id", "ts", "uts").count())
+    val ivals = spark.range(10000).select(col("id").as("rid"),
+        timestamp_micros(lit(epoch0) + (col("id") * 7919 % 2500000) * 1000000L).as("start"))
+      .withColumn("end", timestamp_micros(
+        unix_micros(col("start")) + (col("rid") % 20 + 1) * 900000000L)) // 15 min - 5 h
+    val ipts = events.select(col("event_id").as("id"), col("ts").as("t"))
+    val (tIv, nIv) = time(
+      graft.join.IntervalJoin.joinPointsInIntervals(ipts, ivals).count())
+    val ivPow = spark.conf.getOption(graft.join.IntervalJoin.LAST_POW_KEY)
+      .map(_.toInt).getOrElse(-1)
+
     // ---- bucketed-layout payoff: the SAME cell join replayed 3x against
     // plain parquet (shuffles both sides every replay) vs cell-bucketed
     // tables (zero-Exchange co-located SMJ) — the repeated-join regime the
@@ -97,22 +123,25 @@ object ScaleSmoke {
       pts.filter(col("id") % 3 === 0), "smoke_bkt_b", s"$base/bkt_b",
       "lon", "lat", bktBits, bktBuckets)
     // force sort-merge on both variants: at 100 TB neither side broadcasts,
-    // and the comparison is Exchange-per-replay vs bucket-co-located SMJ
+    // and the comparison is Exchange-per-replay vs bucket-co-located SMJ.
+    // INTERLEAVE the replays (plain, bucketed, plain, ...) and take per-
+    // variant MEDIANS: this host's throughput drifts in minutes-long
+    // epochs, and back-to-back blocks hand one variant the bad epoch
+    // (measured: the same bucketed replay read 21 s and 65 s in adjacent
+    // runs under block timing)
     def replay(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame): Long =
       a.select("cell").join(b.select("cell").hint("merge"), Seq("cell"))
         .groupBy("cell").agg(count(lit(1))).count()
-    val (tPlain3, _) = time {
-      var r = 0L
-      (1 to 3).foreach { _ =>
-        r = replay(spark.read.parquet(s"$base/plain_a"), spark.read.parquet(s"$base/plain_b"))
-      }
-      r
+    val plainTs = scala.collection.mutable.ArrayBuffer[Double]()
+    val bktTs = scala.collection.mutable.ArrayBuffer[Double]()
+    (1 to 3).foreach { _ =>
+      plainTs += time(replay(
+        spark.read.parquet(s"$base/plain_a"), spark.read.parquet(s"$base/plain_b")))._1
+      bktTs += time(replay(spark.table("smoke_bkt_a"), spark.table("smoke_bkt_b")))._1
     }
-    val (tBkt3, _) = time {
-      var r = 0L
-      (1 to 3).foreach { _ => r = replay(spark.table("smoke_bkt_a"), spark.table("smoke_bkt_b")) }
-      r
-    }
+    def med(xs: Seq[Double]): Double = xs.sorted.apply((xs.size - 1) / 2)
+    val tPlain3 = med(plainTs.toSeq) * 3 // 3x-replay total on median pacing
+    val tBkt3 = med(bktTs.toSeq) * 3
     // single-cell probe: bucket pruning reads 1 of the 32 buckets
     // (filter-only bucketed scans need auto selection off — TableIOSpec)
     spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
@@ -201,6 +230,8 @@ object ScaleSmoke {
         s""""dwithin_50km_1k_queries":{"sec":$tDw,"pairs":$nDw,"points_per_sec":${rps(tDw)},"auto_bits":$bDw},""" +
         s""""knn_geodesic_k5_200_queries":{"sec":$tKnn,"rows":$nKnn,"points_per_sec":${rps(tKnn)},"auto_bits":$bKnn},""" +
         s""""knn_planar_k5_200_queries":{"sec":$tKnnP,"rows":$nKnnP,"points_per_sec":${rps(tKnnP)},"auto_bits":$bKnnP},""" +
+        s""""asof_join_1.4m_updates":{"sec":$tAsof,"rows":$nAsof,"points_per_sec":${rps(tAsof)}},""" +
+        s""""interval_join_10k_intervals":{"sec":$tIv,"pairs":$nIv,"points_per_sec":${rps(tIv)},"auto_width_pow":$ivPow},""" +
         s""""bucketed_replay_3x":{"plain_sec":$tPlain3,"bucketed_sec":$tBkt3,""" +
         s""""bucketed_no_exchange":$bktNoExchange,"single_cell_probe_buckets":$selBuckets},""" +
         s""""skew_hot_cell":{"n_points":$hotN,"plain_sec":$tSkewPlain,"salted_sec":$tSkewSalt,""" +

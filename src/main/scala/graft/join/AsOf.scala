@@ -25,6 +25,11 @@ import org.apache.spark.sql.functions._
   * (right columns minus key and time). `inner = true` drops left rows
   * with no prior right row (DuckDB ASOF default); `false` keeps them
   * with null payload.
+  *
+  * Streaming: deliberately batch-only — the union+window shape needs each
+  * key's whole history, which an unbounded stream cannot provide without
+  * keyed state (`flatMapGroupsWithState` holding the latest right row per
+  * key would be the streaming design; not shipped here).
   */
 object AsOf {
 

@@ -142,6 +142,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming interval join (stream-static) matches the batch joinPointsInIntervals") {
+    // unbounded events against static validity windows: the SAME
+    // IntervalJoin operator runs on a readStream points side (the bucket
+    // key is a stateless projection; the join is stream-static inner,
+    // append-legal) and must emit exactly the batch pairs. The AS-OF join
+    // deliberately has NO streaming twin: its union+window shape needs the
+    // whole per-key history (documented in AsOf's scaladoc).
+    val dir = "/root/testdata/sf0.001"
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val streamDir = java.nio.file.Files.createTempDirectory("interval_stream")
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    ev.filter(col("event_id") % 2 === 0).write.mode("overwrite")
+      .parquet(streamDir.resolve("b0").toString)
+    ev.filter(col("event_id") % 2 === 1).write.mode("overwrite")
+      .parquet(streamDir.resolve("b1").toString)
+    val base = 1704067200000000L
+    val hour = 3600000000L
+    val ivs = spark.range(40).select(col("id").as("rid"),
+      timestamp_micros(lit(base) + (col("id") * 29 % 720) * hour).as("start"),
+      timestamp_micros(lit(base) + ((col("id") * 29 % 720) + (col("id") % 7 + 1) * 3) * hour).as("end"))
+    def ptCols(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("event_id").as("id"), col("ts").as("t"))
+    val streamPts = ptCols(spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(streamDir.toString))
+    // pinned width: the AUTO stats job over the static side would run at
+    // plan time per micro-batch restart semantics; a deployment pins the
+    // width it derived once (IntervalJoin.widthPowForLens) — mirror that
+    val pow = graft.join.IntervalJoin.widthPowForLens(12.0 * 3600e6, 21.0 * 3600e6)
+    val joined = graft.join.IntervalJoin.joinPointsInIntervals(streamPts, ivs, widthPow = pow)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("interval_pairs").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("interval_pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val batch = graft.join.IntervalJoin.joinPointsInIntervals(ptCols(ev), ivs, widthPow = pow)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming H3 tile assignment matches the batch tiling") {
     // the engine's tiling operator over an unbounded point stream: per-cell
     // counts via update-mode aggregation — the T1 map + shuffle shape of the
