@@ -334,6 +334,38 @@ object SpatialJoin {
     * dedicated full-scan code path. */
   val WORLD_METERS: Double = 2.5e7
 
+  /** Sentinel: derive the kNN opening radius from the point DENSITY — the
+    * last fixed constant in the kNN family. The schedule only moves cost
+    * (every round is exact), but a fixed 400 km opener against a dense
+    * table gathers a continent per query while a sparse one wastes rounds:
+    * the density-derived disk holds ~4k expected neighbors, so most
+    * queries resolve in round 1 with candidate sets proportional to k. */
+  val AUTO_RADIUS: Double = -1.0
+
+  private val EARTH_AREA_M2 = 5.1e14
+
+  /** Opening radius r with π·r²·ρ = 4k (ρ = points per m² of the globe),
+    * clamped [1 km, 1000 km]. ONE `count()` over the point side — a
+    * metadata-only job for parquet-backed tables (file footers carry row
+    * counts) — memoized per analyzed plan like every stats job here. */
+  private def autoInitMeters(points: DataFrame, k: Int): Double =
+    BitsMemo.getOrCompute("knnr|" + memoKey(points) + "|" + k) {
+      val n = math.max(points.count(), 1L)
+      val density = n.toDouble / EARTH_AREA_M2
+      val r = 2.0 * math.sqrt(k.toDouble / (math.Pi * density))
+      math.max(1000.0, math.min(1000000.0, r)).toInt
+    }.toDouble
+
+  /** Planar analog: π·d²·ρ = 4k over the 360×180 degree domain, clamped
+    * [0.01°, 45°]; memoized in milli-degrees. */
+  private def autoInitDeg(points: DataFrame, k: Int): Double =
+    BitsMemo.getOrCompute("knnd|" + memoKey(points) + "|" + k) {
+      val n = math.max(points.count(), 1L)
+      val density = n.toDouble / 64800.0
+      val d = 2.0 * math.sqrt(k.toDouble / (math.Pi * density))
+      math.max(10.0, math.min(45000.0, d * 1000.0)).toInt // milli-degrees
+    } / 1000.0
+
   /** The exact geodesic kernel as a UDF — ONE definition shared by the
     * radius rounds' refine and the kNN world round, so the two paths can
     * never diverge. */
@@ -410,7 +442,7 @@ object SpatialJoin {
     * rounds use a fine grid, escalated rounds a coarser one — so the
     * per-round candidate set stays proportional to the cap area. */
   def knnGeodesic(points: DataFrame, queries: DataFrame, k: Int,
-                  initMeters: Double = 400000.0, rounds: Int = 3,
+                  initMeters: Double = AUTO_RADIUS, rounds: Int = 3,
                   bits: Int = AUTO_BITS): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("qid").orderBy(col("meters").asc, col("id").asc)
@@ -420,7 +452,8 @@ object SpatialJoin {
         .select(col("qid"), col("rank"), col("id").as("neighbor_id"))
 
     var remaining = queries
-    var radius = initMeters
+    var radius =
+      if (initMeters == AUTO_RADIUS) autoInitMeters(points, k) else initMeters
     var acc: Option[DataFrame] = None
     var r = 0
     while (r < rounds && !remaining.isEmpty) {
@@ -525,7 +558,7 @@ object SpatialJoin {
     * rounds, coarse for escalated ones), so candidates stay proportional to
     * the box area — never the fixed 620 km cells of the old design. */
   def knn(points: DataFrame, queries: DataFrame, k: Int, bits: Int = AUTO_BITS,
-          initDeg: Double = 4.0, rounds: Int = 3): DataFrame = {
+          initDeg: Double = AUTO_RADIUS, rounds: Int = 3): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(col("dist2").asc, col("id").asc)
     def topk(pairs: DataFrame): DataFrame =
       pairs.withColumn("rank", row_number().over(w))
@@ -536,7 +569,7 @@ object SpatialJoin {
         (col("qlon") - col("lon")) * (col("qlon") - col("lon"))
 
     var remaining = queries
-    var radius = initDeg
+    var radius = if (initDeg == AUTO_RADIUS) autoInitDeg(points, k) else initDeg
     var acc: Option[DataFrame] = None
     var r = 0
     while (r < rounds && !remaining.isEmpty) {

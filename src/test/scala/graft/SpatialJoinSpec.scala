@@ -841,6 +841,27 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(coarse < fine, s"post-clear recompute still served $coarse")
   }
 
+  test("density-adaptive kNN opening radius: auto == pinned results on both metrics") {
+    import spark.implicits._
+    val pts = spark.range(3000).map { i =>
+      (i, -170.0 + (i % 337).toDouble + (i % 13) * 0.07,
+        -80.0 + (i % 157).toDouble + (i % 11) * 0.05)
+    }.toDF("id", "lon", "lat")
+    val qsG = pts.filter(col("id") % 211 === 0)
+      .select(col("id").as("qid"), col("lon").as("qlon"), col("lat").as("qlat"))
+    val qsP = qsG.withColumnRenamed("qid", "query_id")
+    // exact at every schedule: the density-derived opener must return the
+    // identical rows as explicit pins (the schedule only moves cost)
+    def runG(init: Double) = SpatialJoin.knnGeodesic(pts, qsG, k = 4, initMeters = init)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(runG(SpatialJoin.AUTO_RADIUS) == runG(250000.0))
+    def runP(init: Double) = SpatialJoin.knn(pts, qsP, k = 4, initDeg = init)
+      .select("query_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(runP(SpatialJoin.AUTO_RADIUS) == runP(2.0))
+    assert(runP(SpatialJoin.AUTO_RADIUS).size == qsP.count() * 4)
+  }
+
   test("rule-path BitsMemo hits across RE-BUILT queries (positional expression keys)") {
     import spark.implicits._
     // expression-level canonicalization keeps exprIds (fresh per analysis);
