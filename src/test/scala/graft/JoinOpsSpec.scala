@@ -177,6 +177,57 @@ class JoinOpsSpec extends AnyFunSuite {
     assert(got.contains((1L, 2L, 9L)))
   }
 
+  test("similarity joins: seeded randomized differential vs brute force") {
+    import spark.implicits._
+    import graft.join.SimilarityJoin
+    val rnd = new scala.util.Random(0xC0FFEE)
+    for (trial <- 0 until 3) {
+      // fingerprints clustered around shared bases with 0-6 bit flips —
+      // the regime where band boundaries and exact popcounts interact
+      val bases = Seq.fill(4)(rnd.nextLong() & 0xFFFFFFFFL)
+      val sims = (0 until 80).map { i =>
+        var v = bases(rnd.nextInt(4))
+        (0 until rnd.nextInt(7)).foreach(_ => v ^= 1L << rnd.nextInt(32))
+        (i.toLong, v)
+      }.toDF("id", "sim")
+      val k = 1 + rnd.nextInt(3)
+      val gotH = SimilarityJoin.simhashHammingJoin(sims, k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+      val bruteH = sims.as("a").crossJoin(sims.as("b"))
+        .filter(col("a.id") < col("b.id"))
+        .withColumn("h", bit_count(col("a.sim").bitwiseXOR(col("b.sim"))))
+        .filter(col("h") <= k)
+        .select(col("a.id"), col("b.id"), col("h"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+      assert(gotH == bruteH, s"hamming trial=$trial k=$k")
+
+      // shingle sets: random bases plus mutated near-copies (0-3 edits)
+      val baseDocs = (0 until 30).map { i =>
+        val sz = 6 + rnd.nextInt(18)
+        (i.toLong, Seq.fill(sz)(rnd.nextInt(200).toLong).distinct)
+      }
+      val copies = (0 until 12).map { j =>
+        val (srcId, src) = baseDocs(rnd.nextInt(baseDocs.size))
+        val mutated = src.filterNot(_ => rnd.nextInt(10) == 0) ++
+          Seq.fill(rnd.nextInt(3))(rnd.nextInt(200).toLong)
+        (1000L + j * 100 + srcId, mutated.distinct)
+      }
+      val docsR = (baseDocs ++ copies).toDF("id", "shs")
+      val gotJ = SimilarityJoin.jaccardJoin(docsR, 4, 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+      val sized = docsR.select(col("id"), array_distinct(col("shs")).as("s"))
+        .withColumn("n", size(col("s")))
+      val bruteJ = sized.as("a").crossJoin(sized.as("b"))
+        .filter(col("a.id") < col("b.id"))
+        .withColumn("shared", size(array_intersect(col("a.s"), col("b.s"))))
+        .filter(col("shared") * 9 >= (col("a.n") + col("b.n")) * 4)
+        .select(col("a.id"), col("b.id"), col("shared"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+      assert(gotJ == bruteJ, s"jaccard trial=$trial")
+      assert(gotJ.nonEmpty, s"jaccard trial=$trial produced no pairs — weak fixture")
+    }
+  }
+
   test("interval join: a matching pair appears exactly once even under overlapping intervals") {
     import spark.implicits._
     val pts = Seq((1L, ts("2024-01-01 06:00:00"))).toDF("id", "t")
