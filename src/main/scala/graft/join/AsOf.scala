@@ -30,6 +30,12 @@ import org.apache.spark.sql.functions._
   * key's whole history, which an unbounded stream cannot provide without
   * keyed state (`flatMapGroupsWithState` holding the latest right row per
   * key would be the streaming design; not shipped here).
+  *
+  * Skew contract: the per-key window concentrates each key's full history
+  * in one task — the same contract as any SQL window function. A
+  * pathological single key (billions of rows) needs its update side
+  * pre-compacted (latest update per (key, coarse time bucket) serves the
+  * same lookups) before this join; ordinary hot keys just ride the sort.
   */
 object AsOf {
 

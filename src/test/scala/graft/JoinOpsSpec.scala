@@ -200,6 +200,7 @@ class JoinOpsSpec extends AnyFunSuite {
         .select(col("a.id"), col("b.id"), col("h"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
       assert(gotH == bruteH, s"hamming trial=$trial k=$k")
+      assert(gotH.nonEmpty, s"hamming trial=$trial produced no pairs — weak fixture")
 
       // shingle sets: random bases plus mutated near-copies (0-3 edits)
       val baseDocs = (0 until 30).map { i =>

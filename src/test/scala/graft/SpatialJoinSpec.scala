@@ -858,8 +858,9 @@ class SpatialJoinSpec extends AnyFunSuite {
     def runP(init: Double) = SpatialJoin.knn(pts, qsP, k = 4, initDeg = init)
       .select("query_id", "rank", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
-    assert(runP(SpatialJoin.AUTO_RADIUS) == runP(2.0))
-    assert(runP(SpatialJoin.AUTO_RADIUS).size == qsP.count() * 4)
+    val autoP = runP(SpatialJoin.AUTO_RADIUS)
+    assert(autoP == runP(2.0))
+    assert(autoP.size == qsP.count() * 4)
   }
 
   test("rule-path BitsMemo hits across RE-BUILT queries (positional expression keys)") {
