@@ -948,6 +948,28 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** CONNECTED COMPONENTS over the q61 hamming pairs under the driver
+    * gate — the step that turns near-dup PAIRS into dedup CLUSTERS with a
+    * deterministic keeper (component = min member id). The engine side is
+    * min-label propagation with pointer doubling (O(log diameter) rounds,
+    * loud failure on non-convergence); the oracle computes the same
+    * fixpoint INDEPENDENTLY via a recursive CTE (min id over the
+    * reachability closure), so a propagation bug anywhere — a missed
+    * round, a one-directional edge, a shortcut error — hash-fails. */
+  def q63Components(spark: SparkSession, dir: String): DataFrame = {
+    val sh = udf((text: String) => simhash32(text))
+    val sims = docs(spark, dir).select(col("doc_id").as("id"), sh(col("text")).as("sim"))
+    // hamming <= 1 via 2x16-bit bands (pigeonhole needs bands > k): the
+    // <=3 graph on this corpus is one 96% blob — structureless; <=1 gives
+    // hundreds of components with a 261-member cluster spanned by only
+    // ~900 edges at sf0.01, i.e. real multi-hop propagation depth
+    val pairs = graft.join.SimilarityJoin.simhashHammingJoin(sims, k = 1, bands = 2)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    graft.ops.ConnectedComponents.run(sims.select("id"), pairs)
+      .select(col("id").as("doc_id"), col("component"))
+      .orderBy("doc_id")
+  }
+
   /** Exact GEODESIC kNN (k=5, Vincenty meters) via radius rounds with the
     * completeness proof + brute-force fallback — the geodesic counterpart
     * of q25's euclidean kNN. Oracle: full cross product through the

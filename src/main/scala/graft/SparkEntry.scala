@@ -82,6 +82,7 @@ object SparkEntry {
     "q60_hll_sketch" -> (Queries.q60HllSketch _),
     "q61_simhash_pairs" -> (Queries.q61SimhashPairs _),
     "q62_jaccard_pairs" -> (Queries.q62JaccardPairs _),
+    "q63_components" -> (Queries.q63Components _),
   )
 
   // ---------------- oracle SQL ----------------
@@ -785,6 +786,27 @@ object SparkEntry {
          |SELECT id_a, id_b, shared FROM p
          |WHERE 9 * shared >= 4 * (na + nb)
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q63_components" -> // independent fixpoint: min id over the recursive reachability closure
+      s"""WITH RECURSIVE tok AS (
+         |  SELECT doc_id,
+         |    list_transform(regexp_split_to_array(trim(text), '\\s+'),
+         |      tk -> CASE WHEN length(tk) = 0 THEN CAST(0 AS BIGINT)
+         |            ELSE CAST(list_reduce([CAST(ord(substr(tk, i, 1)) AS BIGINT) for i in range(1, length(tk) + 1)],
+         |                      (a, b) -> (a * 31 + b) % 2147483647) AS BIGINT) END) AS hs
+         |  FROM documents),
+         |s AS (SELECT doc_id, $simhashBits AS sim FROM tok),
+         |p AS (SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sim, b.sim)) <= 1),
+         |e AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+         |r AS (
+         |  SELECT doc_id AS v, doc_id AS l FROM s
+         |  UNION
+         |  SELECT e.b AS v, r.l FROM r JOIN e ON e.a = r.v
+         |)
+         |SELECT v AS doc_id, min(l) AS component FROM r
+         |GROUP BY v ORDER BY doc_id""".stripMargin,
 
     "q47_box_join" ->
       s"""WITH $P,

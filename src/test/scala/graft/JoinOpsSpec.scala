@@ -177,6 +177,28 @@ class JoinOpsSpec extends AnyFunSuite {
     assert(got.contains((1L, 2L, 9L)))
   }
 
+  test("connected components == ground truth; 200-hop chain converges via pointer doubling; non-convergence throws") {
+    import spark.implicits._
+    import graft.ops.ConnectedComponents
+    // a 200-node CHAIN (the adversarial case for plain min-propagation —
+    // one hop per round without the doubling shortcut), two separate
+    // clusters, and singletons
+    val chain = (0 until 199).map(i => (i.toLong, (i + 1).toLong))
+    val extra = Seq((500L, 501L), (501L, 502L), (600L, 601L))
+    val edges = (chain ++ extra).toDF("src", "dst")
+    val vertices = ((0 to 199).map(_.toLong) ++ Seq(500L, 501L, 502L, 600L, 601L, 700L, 701L))
+      .toDF("id")
+    val got = ConnectedComponents.run(vertices, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val expect = ((0 to 199).map(i => (i.toLong, 0L)) ++
+      Seq((500L, 500L), (501L, 500L), (502L, 500L),
+        (600L, 600L), (601L, 600L), (700L, 700L), (701L, 701L))).sorted
+    assert(got == expect)
+    // an insufficient round budget must fail LOUDLY, not return a
+    // plausible-but-wrong labeling
+    intercept[IllegalStateException](ConnectedComponents.run(vertices, edges, maxRounds = 2))
+  }
+
   test("similarity joins: seeded randomized differential vs brute force") {
     import spark.implicits._
     import graft.join.SimilarityJoin
