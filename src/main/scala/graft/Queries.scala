@@ -958,12 +958,18 @@ object Queries {
     * round, a one-directional edge, a shortcut error — hash-fails. */
   def q63Components(spark: SparkSession, dir: String): DataFrame = {
     val sh = udf((text: String) => simhash32(text))
+    // materialize once: both the pair join AND the vertex list read it —
+    // an unmaterialized plan re-scans documents.parquet for the vertices
     val sims = docs(spark, dir).select(col("doc_id").as("id"), sh(col("text")).as("sim"))
+      .localCheckpoint(true)
     // hamming <= 1 via 2x16-bit bands (pigeonhole needs bands > k): the
     // <=3 graph on this corpus is one 96% blob — structureless; <=1 gives
     // hundreds of components with a 261-member cluster spanned by only
-    // ~900 edges at sf0.01, i.e. real multi-hop propagation depth
-    val pairs = graft.join.SimilarityJoin.simhashHammingJoin(sims, k = 1, bands = 2)
+    // ~900 edges at sf0.01, i.e. real multi-hop propagation depth.
+    // Distinct metric name: q61 owns the default, and the bench metric
+    // map keeps the last value per name
+    val pairs = graft.join.SimilarityJoin.simhashHammingJoin(sims, k = 1, bands = 2,
+        metricName = "q63_band_rows")
       .select(col("id_a").as("src"), col("id_b").as("dst"))
     graft.ops.ConnectedComponents.run(sims.select("id"), pairs)
       .select(col("id").as("doc_id"), col("component"))

@@ -30,9 +30,14 @@ object SimilarityJoin {
 
   /** sims: (id, sim) with `sim` a fingerprint in the low `bits` bits.
     * Returns (id_a, id_b, hamming) for all pairs with hamming ≤ k.
-    * Requires bands > k (the pigeonhole) and bands | bits. */
+    * Requires bands > k (the pigeonhole) and bands | bits. `metricName`
+    * names the pre-dedup candidate-row observe() metric — callers that
+    * run MORE THAN ONE hamming join per session must pass distinct names
+    * (the bench's metric map keeps the last value per name, so a shared
+    * name silently clobbers the other join's cost signal). */
   def simhashHammingJoin(sims: DataFrame, k: Int,
-                         bits: Int = 32, bands: Int = 4): DataFrame = {
+                         bits: Int = 32, bands: Int = 4,
+                         metricName: String = "simhash_join_band_rows"): DataFrame = {
     require(bands > k, s"pigeonhole needs bands ($bands) > k ($k)")
     require(bits % bands == 0, s"bands must divide bits")
     val w = bits / bands
@@ -51,7 +56,7 @@ object SimilarityJoin {
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .observe("simhash_join_band_rows", count(lit(1)).as("rows")) // below the dedup exchange: executes once
+      .observe(metricName, count(lit(1)).as("rows")) // below the dedup exchange: executes once
       .distinct()
     cand
       .join(s.select(col("id").as("id_a"), col("sim").as("__sa")), Seq("id_a"))

@@ -25,6 +25,17 @@ import org.apache.spark.sql.functions._
   * graph a driver can hold (2^30-hop chains after doubling). */
 object ConnectedComponents {
 
+  /** Drop a localCheckpoint's persisted RDD blocks NOW: `Dataset
+    * .unpersist` only talks to the CacheManager, which never saw a
+    * checkpoint, so superseded label copies would otherwise sit in
+    * block-manager storage until GC-driven cleanup — up to maxRounds full
+    * label tables on a big graph. */
+  private def dropCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+
   /** vertices: (id); edges: (src, dst) — undirected (symmetrized here),
     * ids must be members of `vertices`. Returns (id, component) with
     * component = min id reachable from the vertex (its own id for
@@ -33,8 +44,9 @@ object ConnectedComponents {
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true) // reread every round; never recompute the pair join
-    var labels = vertices.select(col("id"), col("id").as("component"))
+    var labelsCk = vertices.select(col("id"), col("id").as("component"))
       .localCheckpoint(true)
+    var labels = labelsCk
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
@@ -55,6 +67,9 @@ object ConnectedComponents {
           least(col("c1"), coalesce(col("pcomp"), col("c1"))).as("newComp"))
         .localCheckpoint(true)
       val changed = doubled.filter(col("newComp") < col("component")).count()
+      // the new checkpoint is materialized — the superseded one can go
+      dropCheckpoint(labelsCk)
+      labelsCk = doubled
       labels = doubled.select(col("id"), col("newComp").as("component"))
       converged = changed == 0
       round += 1
