@@ -948,6 +948,31 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** The NATURAL temporal range join through the
+    * [[graft.plans.IntervalJoinRewrite]] Catalyst rule — the SQL surface
+    * of q59: a user writes `ts >= start AND ts < end` (which vanilla
+    * Spark can only nested-loop) and the rule rewrites it to the
+    * bucket-keyed equi-join with a stats-derived width at optimize time.
+    * Same windows and oracle as q59, same child-session isolation as
+    * q43/q51/q56; the spec asserts the rewritten plan shape. */
+  def q64NaturalInterval(spark: SparkSession, dir: String): DataFrame = {
+    val s2 = spark.newSession()
+    graft.plans.SpatialPlanner.enable(s2)
+    val base = 1704067200000000L
+    val hour = 3600000000L
+    val startH = col("n_nationkey") * 29 % 720
+    val lenH = (col("n_nationkey") % 7 + 1) * 3
+    val ivs = s2.read.parquet(s"$dir/nation.parquet").select(
+      col("n_nationkey").cast("long").as("rid"),
+      timestamp_micros(lit(base) + startH.cast("long") * hour).as("start"),
+      timestamp_micros(lit(base) + (startH + lenH).cast("long") * hour).as("end"))
+    val pts = s2.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id").as("id"), col("ts").as("t"))
+    pts.join(ivs, col("t") >= col("start") && col("t") < col("end"))
+      .select(col("id"), col("rid"))
+      .orderBy("id", "rid")
+  }
+
   /** CONNECTED COMPONENTS over the q61 hamming pairs under the driver
     * gate — the step that turns near-dup PAIRS into dedup CLUSTERS with a
     * deterministic keeper (component = min member id). The engine side is

@@ -83,6 +83,7 @@ object SparkEntry {
     "q61_simhash_pairs" -> (Queries.q61SimhashPairs _),
     "q62_jaccard_pairs" -> (Queries.q62JaccardPairs _),
     "q63_components" -> (Queries.q63Components _),
+    "q64_natural_interval" -> (Queries.q64NaturalInterval _),
   )
 
   // ---------------- oracle SQL ----------------
@@ -786,6 +787,16 @@ object SparkEntry {
          |SELECT id_a, id_b, shared FROM p
          |WHERE 9 * shared >= 4 * (na + nb)
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q64_natural_interval" -> // same ground truth as q59 — through the REWRITTEN natural SQL plan
+      """WITH iv AS (SELECT CAST(n_nationkey AS BIGINT) AS rid,
+        |    make_timestamp(1704067200000000 + (n_nationkey * 29 % 720) * 3600000000) AS s,
+        |    make_timestamp(1704067200000000 +
+        |      ((n_nationkey * 29 % 720) + (n_nationkey % 7 + 1) * 3) * 3600000000) AS e
+        |  FROM nation)
+        |SELECT ev.event_id AS id, iv.rid
+        |FROM events ev JOIN iv ON ev.ts >= iv.s AND ev.ts < iv.e
+        |ORDER BY id, rid""".stripMargin,
 
     "q63_components" -> // independent fixpoint: min id over the recursive reachability closure
       s"""WITH RECURSIVE tok AS (

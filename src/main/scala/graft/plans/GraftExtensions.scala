@@ -22,6 +22,7 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => SpatialJoinRewrite)
+    ext.injectOptimizerRule(_ => IntervalJoinRewrite)
     val (id, info, builder) = GraftExtensions.h3CellFunction
     ext.injectFunction((id, info, builder))
   }

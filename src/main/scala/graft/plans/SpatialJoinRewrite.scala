@@ -299,11 +299,12 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 /** Runtime entry points for live sessions; new sessions should prefer
   * `spark.sql.extensions=graft.plans.GraftExtensions`. */
 object SpatialPlanner {
-  /** Opt the session into the spatial join rewrite. */
+  /** Opt the session into the spatial AND temporal join rewrites. */
   def enable(spark: SparkSession): Unit = {
-    val cur = spark.experimental.extraOptimizations
-    if (!cur.contains(SpatialJoinRewrite))
-      spark.experimental.extraOptimizations = cur :+ SpatialJoinRewrite
+    var cur = spark.experimental.extraOptimizations
+    if (!cur.contains(SpatialJoinRewrite)) cur = cur :+ SpatialJoinRewrite
+    if (!cur.contains(IntervalJoinRewrite)) cur = cur :+ IntervalJoinRewrite
+    spark.experimental.extraOptimizations = cur
   }
 
   /** Register `h3_cell(lat, lon, res)` for `spark.sql` users. */

@@ -177,6 +177,61 @@ class JoinOpsSpec extends AnyFunSuite {
     assert(got.contains((1L, 2L, 9L)))
   }
 
+  test("IntervalJoinRewrite: natural ts-range SQL joins escape the nested loop, results exact") {
+    import spark.implicits._
+    val parentRulesBefore = spark.experimental.extraOptimizations
+    val s2 = spark.newSession()
+    graft.plans.SpatialPlanner.enable(s2)
+    val base = 1704067200000000L
+    val pts = s2.range(3000).select(col("id"),
+      timestamp_micros(lit(base) + col("id") * 47000000L).as("t")) // TIMESTAMP
+    val ptsNtz = pts.withColumn("t", col("t").cast("timestamp_ntz"))
+    val ivs = s2.range(30).select(col("id").as("rid"),
+        timestamp_micros(lit(base) + (col("id") * 7919 % 1300).cast("long") * 100000000L).as("start"))
+      .withColumn("end", timestamp_micros(
+        unix_micros(col("start")) + (col("rid") % 5 + 1) * 700000000L))
+    def natural(p: org.apache.spark.sql.DataFrame) = p.join(ivs,
+      col("t") >= col("start") && col("t") < col("end"))
+    // 1) plan: rewritten to the bucket equi-join, no nested loop
+    val plan = natural(pts).queryExecution.executedPlan.toString
+    assert(plan.contains("__graft_tb"), plan)
+    assert(!plan.contains("NestedLoopJoin"), plan)
+    // width derived from stats and published
+    val pow = s2.conf.get(graft.join.IntervalJoin.LAST_POW_KEY).toInt
+    assert(pow >= 1 && pow <= 62)
+    // 2) results == rule-free naive join, for TIMESTAMP and TIMESTAMP_NTZ
+    val got = natural(pts).select("id", "rid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val gotNtz = natural(ptsNtz).select("id", "rid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // rule-free naive: strip the optimizer rules, then restore
+    val saved = s2.experimental.extraOptimizations
+    s2.experimental.extraOptimizations = Seq.empty
+    val naive =
+      try natural(pts).select("id", "rid")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      finally s2.experimental.extraOptimizations = saved
+    assert(got == naive && got == gotNtz && got.nonEmpty)
+    // 3) LEFT SEMI / LEFT ANTI keep their semantics through the rewrite
+    val semi = pts.join(ivs, col("t") >= col("start") && col("t") < col("end"), "left_semi")
+    assert(semi.queryExecution.executedPlan.toString.contains("__graft_tb"))
+    val semiIds = semi.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(semiIds == semiIds.distinct && semiIds == got.map(_._1).distinct.sorted)
+    val anti = pts.join(ivs, col("t") >= col("start") && col("t") < col("end"), "left_anti")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(anti == pts.select("id").collect().map(_.getLong(0)).toSeq.diff(semiIds).sorted)
+    // 4) a pinned width agrees and is honored
+    s2.conf.set(graft.plans.IntervalJoinRewrite.WIDTH_POW_KEY, "26")
+    try {
+      val pinned = natural(pts).select("id", "rid")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(pinned == got)
+      assert(s2.conf.get(graft.join.IntervalJoin.LAST_POW_KEY).toInt == 26)
+    } finally s2.conf.unset(graft.plans.IntervalJoinRewrite.WIDTH_POW_KEY)
+    // 5) enabling on the child must not CHANGE the parent session
+    assert(spark.experimental.extraOptimizations.toSeq == parentRulesBefore.toSeq)
+  }
+
   test("connected components == ground truth; 200-hop chain converges via pointer doubling; non-convergence throws") {
     import spark.implicits._
     import graft.ops.ConnectedComponents

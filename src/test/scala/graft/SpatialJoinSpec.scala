@@ -66,7 +66,7 @@ class SpatialJoinSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(got == api)
     spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations.filterNot(_ == graft.plans.SpatialJoinRewrite)
+      spark.experimental.extraOptimizations.filterNot(r => r == graft.plans.SpatialJoinRewrite || r == graft.plans.IntervalJoinRewrite)
     val naive = pts.join(boxes,
       col("lon") >= col("minx") && col("lon") <= col("maxx") &&
         col("lat") >= col("miny") && col("lat") <= col("maxy"))
@@ -91,7 +91,7 @@ class SpatialJoinSpec extends AnyFunSuite {
     val gotM = mixed2.select("id", "rid").collect()
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations.filterNot(_ == graft.plans.SpatialJoinRewrite)
+      spark.experimental.extraOptimizations.filterNot(r => r == graft.plans.SpatialJoinRewrite || r == graft.plans.IntervalJoinRewrite)
     val naiveM = pts.join(boxes,
       col("minx") < col("lon") && col("lon") < col("maxx") &&
         col("lat") >= col("miny") && col("maxy") >= col("lat") && col("rid") =!= 2L)
@@ -110,7 +110,7 @@ class SpatialJoinSpec extends AnyFunSuite {
       assert(fine == got)
     } finally spark.conf.unset(graft.plans.SpatialJoinRewrite.BITS_KEY)
     spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations.filterNot(_ == graft.plans.SpatialJoinRewrite)
+      spark.experimental.extraOptimizations.filterNot(r => r == graft.plans.SpatialJoinRewrite || r == graft.plans.IntervalJoinRewrite)
 
     // 3c) mirrored form: boxes on the LEFT (how q26's own oracle SQL is
     // written) — rewritten for Inner, identical results
@@ -130,7 +130,7 @@ class SpatialJoinSpec extends AnyFunSuite {
     val semiFlipRids = semiFlip.select("rid").collect().map(_.getLong(0)).sorted.toSeq
     assert(semiFlipRids == semiFlipRids.distinct)
     spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations.filterNot(_ == graft.plans.SpatialJoinRewrite)
+      spark.experimental.extraOptimizations.filterNot(r => r == graft.plans.SpatialJoinRewrite || r == graft.plans.IntervalJoinRewrite)
 
     // 4) left-semi keeps each left row at most once
     graft.plans.SpatialPlanner.enable(spark)
@@ -161,7 +161,7 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert((antiIds ++ semiSome).sorted == allIds)
     assert(antiIds.nonEmpty && semiSome.nonEmpty)
     spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations.filterNot(_ == graft.plans.SpatialJoinRewrite)
+      spark.experimental.extraOptimizations.filterNot(r => r == graft.plans.SpatialJoinRewrite || r == graft.plans.IntervalJoinRewrite)
     // rule-free anti join agrees (same keep/drop decisions as
     // GeoOps.filterIntersects --negate semantics on axis-aligned queries)
     val naiveA = pts.join(someBoxes,
@@ -176,7 +176,7 @@ class SpatialJoinSpec extends AnyFunSuite {
         col("lat") >= col("miny") && col("lat") <= col("maxy"), "left_anti")
     assert(!antiFlip.queryExecution.executedPlan.toString.contains("__graft_gx"))
     spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations.filterNot(_ == graft.plans.SpatialJoinRewrite)
+      spark.experimental.extraOptimizations.filterNot(r => r == graft.plans.SpatialJoinRewrite || r == graft.plans.IntervalJoinRewrite)
   }
 
   test("dwithinJoin == brute force, including polar and antimeridian queries") {
@@ -368,7 +368,7 @@ class SpatialJoinSpec extends AnyFunSuite {
       val got = natural.select("id", "rid").collect()
         .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
       spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations.filterNot(_ == graft.plans.SpatialJoinRewrite)
+        spark.experimental.extraOptimizations.filterNot(r => r == graft.plans.SpatialJoinRewrite || r == graft.plans.IntervalJoinRewrite)
       val naive = pts.join(boxes,
         col("lon") >= col("minx") && col("lon") <= col("maxx") &&
           col("lat") >= col("miny") && col("lat") <= col("maxy"))
@@ -388,7 +388,7 @@ class SpatialJoinSpec extends AnyFunSuite {
         assert(gotP == got)
       } finally spark.conf.unset(graft.plans.SpatialJoinRewrite.BITS_KEY)
     } finally spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations.filterNot(_ == graft.plans.SpatialJoinRewrite)
+      spark.experimental.extraOptimizations.filterNot(r => r == graft.plans.SpatialJoinRewrite || r == graft.plans.IntervalJoinRewrite)
   }
 
   test("adaptive rewrite guards: oversized box side keeps the fixed grid; malformed conf fails loudly") {
@@ -430,7 +430,7 @@ class SpatialJoinSpec extends AnyFunSuite {
     } finally {
       spark.conf.unset(graft.plans.SpatialJoinRewrite.STATS_MAX_BYTES_KEY)
       spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations.filterNot(_ == graft.plans.SpatialJoinRewrite)
+        spark.experimental.extraOptimizations.filterNot(r => r == graft.plans.SpatialJoinRewrite || r == graft.plans.IntervalJoinRewrite)
     }
   }
 
@@ -557,7 +557,7 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(sqlJoin.queryExecution.executedPlan.toString.contains("__graft_gx"))
     val got = sqlJoin.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations.filterNot(_ == graft.plans.SpatialJoinRewrite)
+      spark.experimental.extraOptimizations.filterNot(r => r == graft.plans.SpatialJoinRewrite || r == graft.plans.IntervalJoinRewrite)
     val naive = spark.sql(
       """SELECT id, rid FROM sql_pts JOIN sql_boxes
         |ON lon BETWEEN minx AND maxx AND lat BETWEEN miny AND maxy""".stripMargin)
@@ -787,7 +787,7 @@ class SpatialJoinSpec extends AnyFunSuite {
       val gotNested = nested.select("id", "bid").collect()
         .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
       spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations.filterNot(_ == graft.plans.SpatialJoinRewrite)
+        spark.experimental.extraOptimizations.filterNot(r => r == graft.plans.SpatialJoinRewrite || r == graft.plans.IntervalJoinRewrite)
       val naiveNested = nestPts.join(boxSide,
         col("lon") >= col("minx") && col("lon") <= col("maxx") &&
           col("lat") >= col("miny") && col("lat") <= col("maxy"))
@@ -802,7 +802,7 @@ class SpatialJoinSpec extends AnyFunSuite {
       spark.conf.unset(graft.plans.SpatialJoinRewrite.STATS_MAX_BYTES_KEY)
       spark.conf.unset(graft.plans.SpatialJoinRewrite.BITS_KEY)
       spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations.filterNot(_ == graft.plans.SpatialJoinRewrite)
+        spark.experimental.extraOptimizations.filterNot(r => r == graft.plans.SpatialJoinRewrite || r == graft.plans.IntervalJoinRewrite)
     }
   }
 
@@ -894,6 +894,6 @@ class SpatialJoinSpec extends AnyFunSuite {
         "re-built identical query re-ran the stats job — memo key not stable")
       assert(graft.join.SpatialJoin.BitsMemo.hitCount > h0)
     } finally spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations.filterNot(_ == graft.plans.SpatialJoinRewrite)
+      spark.experimental.extraOptimizations.filterNot(r => r == graft.plans.SpatialJoinRewrite || r == graft.plans.IntervalJoinRewrite)
   }
 }
