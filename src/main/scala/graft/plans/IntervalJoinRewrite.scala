@@ -185,10 +185,20 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         val wbAttr = AttributeReference(TB, LongType, nullable = true)()
         def seqOf(a: Expression, b2: Expression) =
           Sequence(a, b2, None, Some(conf.sessionLocalTimeZone))
+        // Drop inverted/empty windows BEFORE the explode, as the API path
+        // does (IntervalJoin.joinPointsInIntervals): sequence() walks an
+        // inverted range BACKWARDS, so one corrupted row with swapped
+        // bounds spanning years would allocate millions of buckets and
+        // fail the whole query. Such a row matches nothing under the
+        // kept original predicate, so the filter is semantics-preserving
+        // (winSide is never the preserved side of a Semi/Anti here); a
+        // NULL comparison drops the row exactly as Explode(NULL) would.
+        val ordered = Filter(
+          LessThanOrEqual(bucket(b.lower), bucket(b.upper)), winSide)
         val gen = Generate(
           Explode(seqOf(bucket(b.lower), bucket(b.upper))),
           unrequiredChildIndex = Nil, outer = false, qualifier = None,
-          generatorOutput = Seq(wbAttr), child = winSide)
+          generatorOutput = Seq(wbAttr), child = ordered)
         val newCond = And(EqualTo(pb.toAttribute, wbAttr), cond)
         val rewritten =
           if (pointsOnLeft) Join(pts, gen, jt, Some(newCond), hint)

@@ -232,6 +232,32 @@ class JoinOpsSpec extends AnyFunSuite {
     assert(spark.experimental.extraOptimizations.toSeq == parentRulesBefore.toSeq)
   }
 
+  test("IntervalJoinRewrite: an inverted window row matches nothing instead of failing the query") {
+    val s2 = spark.newSession()
+    graft.plans.SpatialPlanner.enable(s2)
+    val base = 1704067200000000L
+    val pts = s2.range(2000).select(col("id"),
+      timestamp_micros(lit(base) + col("id") * 47000000L).as("t"))
+    // window 99 has SWAPPED bounds spanning ~3 years: sequence() would
+    // walk it backwards over ~100M one-second buckets and fail the whole
+    // query if it reached the explode
+    val ivs = s2.range(20).select(col("id").as("rid"),
+        timestamp_micros(lit(base) + col("id") * 100000000L).as("start"))
+      .withColumn("end", timestamp_micros(unix_micros(col("start")) + 700000000L))
+      .union(s2.range(1).select(lit(99L).as("rid"),
+        timestamp_micros(lit(base) + 100000000000000L).as("start"),
+        timestamp_micros(lit(base)).as("end")))
+    val joined = pts.join(ivs, col("t") >= col("start") && col("t") < col("end"))
+    assert(joined.queryExecution.executedPlan.toString.contains("__graft_tb"))
+    val rids = joined.select("rid").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(!rids.contains(99L) && rids.nonEmpty)
+    // the anti join still keeps exactly the points outside every VALID window
+    val anti = pts.join(ivs, col("t") >= col("start") && col("t") < col("end"), "left_anti")
+    val semiN = pts.join(ivs, col("t") >= col("start") && col("t") < col("end"), "left_semi").count()
+    assert(anti.count() == 2000L - semiN && semiN > 0)
+  }
+
   test("connected components == ground truth; 200-hop chain converges via pointer doubling; non-convergence throws") {
     import spark.implicits._
     import graft.ops.ConnectedComponents
