@@ -1882,4 +1882,60 @@ object Queries {
         col("c._3").as("compact_str"))
       .orderBy("id")
   }
+
+  // ------------- curation at scale: packing / mixing / quantiles -------------
+
+  /** Greedy sequence PACKING under the driver gate — fixed-size context
+    * windows filled shard-by-shard in doc_id order (graft.ops.Packing:
+    * one shuffle on the shard key + a streaming per-partition pass).
+    * Token counts are the SQL-expressible n_chars % 90 + 10 (10–99), so
+    * budget 96 gate-drives BOTH branches: normal fills and oversized
+    * docs (97–99 tokens) that own a bin alone. The oracle is an
+    * INDEPENDENT fixpoint — a recursive CTE walking each shard row by
+    * row — so an off-by-one in the overflow rule, a reset missed at a
+    * shard boundary, or a partition that split a shard all hash-fail. */
+  def q65Packing(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir).select(
+      col("doc_id"),
+      (col("doc_id") % 8).as("shard"),
+      (col("n_chars") % 90 + 10).as("tok"))
+    graft.ops.Packing.packGreedy(base, "doc_id", "shard", "tok", budget = 96L)
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic weighted corpus MIXING under the driver gate — the
+    * per-domain rebalance (graft.ops.Sampling): weight_milli =
+    * (source index % 8) · 375, so the 20 sources span hard drops (0),
+    * fractional down-samples (0.375×), and >2× up-samples (2.625× → 2
+    * or 3 copies). The keep/extra-copy decision is the 32-bit
+    * multiply–xorshift mix of doc_id mod 1000 — pure integer arithmetic
+    * the oracle re-renders constant-for-constant, so the gate proves
+    * BOTH engines select the exact same rows AND the exact same copy
+    * counts (no rand(), no partition dependence). */
+  def q66Mixing(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("source"))
+      .withColumn("weight_milli",
+        expr("CAST(substr(source, 4) AS BIGINT)") % 8 * 375)
+    graft.ops.Sampling.weightedExplode(d, "doc_id", col("weight_milli"))
+      .select(col("doc_id"), col("source"), col("weight_milli"), col("copy"))
+      .orderBy("doc_id", "copy")
+  }
+
+  /** EXACT distributed quantiles under the driver gate — histogram
+    * bisection (graft.ops.Quantiles), NO global sort. The value domain
+    * is a 1e8-wide signed derivation of event_id (negatives included),
+    * and fanout 16 forces ~7 bisection levels, so every level's
+    * range-narrowing arithmetic is exercised. Quantiles are rationals;
+    * the rank is ceil(n·num/den) in integer arithmetic on both engines.
+    * The oracle is the definition itself: row_number over a full sort,
+    * joined at the target ranks — if any level miscounts a bucket, the
+    * resolved value names a different element and hash-fails. */
+  def q67Quantiles(spark: SparkSession, dir: String): DataFrame = {
+    val v = spark.read.parquet(s"$dir/events.parquet")
+      .select((col("event_id") * 2654435761L % 100000000L - 50000000L).as("v"))
+    graft.ops.Quantiles.exactQuantiles(v, "v",
+      Seq((1L, 100L), (1L, 4L), (1L, 2L), (3L, 4L), (99L, 100L), (1L, 1L)),
+      fanout = 16)
+      .orderBy("rank", "q_num", "q_den")
+  }
 }

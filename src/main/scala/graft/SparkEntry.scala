@@ -84,6 +84,9 @@ object SparkEntry {
     "q62_jaccard_pairs" -> (Queries.q62JaccardPairs _),
     "q63_components" -> (Queries.q63Components _),
     "q64_natural_interval" -> (Queries.q64NaturalInterval _),
+    "q65_packing" -> (Queries.q65Packing _),
+    "q66_mixing" -> (Queries.q66Mixing _),
+    "q67_quantiles" -> (Queries.q67Quantiles _),
   )
 
   // ---------------- oracle SQL ----------------
@@ -836,5 +839,53 @@ object SparkEntry {
          |SELECT id, rid FROM a JOIN b
          |ON minx <= bmaxx AND maxx >= bminx AND miny <= bmaxy AND maxy >= bminy
          |ORDER BY id, rid""".stripMargin,
+
+    "q65_packing" -> // independent fixpoint: recursive CTE walks each shard row by row
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, doc_id % 8 AS shard, n_chars % 90 + 10 AS tok
+        |  FROM documents),
+        |o AS (SELECT doc_id, shard, tok,
+        |    row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+        |  FROM base),
+        |walk AS (
+        |  SELECT shard, rn, doc_id, tok, CAST(0 AS BIGINT) AS bin,
+        |      CAST(0 AS BIGINT) AS bin_offset, tok AS fill
+        |    FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.shard, o.rn, o.doc_id, o.tok,
+        |      CASE WHEN w.fill + o.tok > 96 THEN w.bin + 1 ELSE w.bin END,
+        |      CASE WHEN w.fill + o.tok > 96 THEN CAST(0 AS BIGINT) ELSE w.fill END,
+        |      CASE WHEN w.fill + o.tok > 96 THEN o.tok ELSE w.fill + o.tok END
+        |    FROM walk w JOIN o ON o.shard = w.shard AND o.rn = w.rn + 1)
+        |SELECT doc_id, shard, bin, bin_offset FROM walk ORDER BY doc_id""".stripMargin,
+
+    "q66_mixing" -> // the mix re-rendered constant-for-constant; range() emits the copies
+      """WITH w AS (SELECT doc_id, source,
+        |    CAST(substr(source, 4) AS BIGINT) % 8 * 375 AS weight_milli
+        |  FROM documents),
+        |m1 AS (SELECT *, (doc_id * 2654435761) & 4294967295 AS a FROM w),
+        |m2 AS (SELECT doc_id, source, weight_milli, xor(a, a >> 16) AS a2 FROM m1),
+        |m3 AS (SELECT doc_id, source, weight_milli,
+        |    (a2 * 49979693) & 4294967295 AS a3 FROM m2),
+        |mx AS (SELECT doc_id, source, weight_milli, xor(a3, a3 >> 15) AS h FROM m3),
+        |c AS (SELECT doc_id, source, weight_milli,
+        |    weight_milli // 1000
+        |      + CASE WHEN h % 1000 < weight_milli % 1000 THEN 1 ELSE 0 END AS n
+        |  FROM mx)
+        |SELECT doc_id, source, weight_milli,
+        |  CAST(unnest(range(0, n)) AS BIGINT) AS copy
+        |FROM c WHERE n > 0 ORDER BY doc_id, copy""".stripMargin,
+
+    "q67_quantiles" -> // the definition itself: full sort, joined at the target ranks
+      """WITH base AS (
+        |  SELECT event_id * 2654435761 % 100000000 - 50000000 AS v FROM events),
+        |n AS (SELECT count(*) AS c FROM base),
+        |vals AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM base),
+        |qs(q_num, q_den) AS (VALUES (1, 100), (1, 4), (1, 2), (3, 4), (99, 100), (1, 1)),
+        |r AS (SELECT CAST(q_num AS BIGINT) AS q_num, CAST(q_den AS BIGINT) AS q_den,
+        |    (c * q_num + q_den - 1) // q_den AS rank FROM qs, n)
+        |SELECT r.q_num, r.q_den, r.rank, vals.v AS value
+        |FROM r JOIN vals ON vals.rn = r.rank
+        |ORDER BY rank, q_num, q_den""".stripMargin,
   )
 }
