@@ -1938,4 +1938,50 @@ object Queries {
       fanout = 16)
       .orderBy("rank", "q_num", "q_den")
   }
+
+  // ------------- decontamination / bloom sketch / repetition -------------
+
+  /** BLOOM FILTER sketch under the driver gate — the q60 pattern applied
+    * to set membership: the gate hashes ALL 2048 32-bit bitset words,
+    * and the oracle recomputes every probe (two mix chains + the
+    * Kirsch–Mitzenmacher double-hash index, bit_or per word) integer-
+    * exactly, so one wrong bit anywhere in reduce/merge hash-fails. The
+    * value domain (event_id·37 mod 4096, ≤ 4096 distinct) fills ~22% of
+    * the 65536 bits at K = 4 — a healthy mid-fill pattern, neither
+    * sparse nor saturated. */
+  def q68Bloom(spark: SparkSession, dir: String): DataFrame = {
+    val bloom = udaf(new graft.functions.BloomAggregator,
+      org.apache.spark.sql.Encoders.scalaLong)
+    val row = spark.read.parquet(s"$dir/events.parquet")
+      .select((col("event_id") * 37 % 4096).as("v"))
+      .agg(bloom(col("v")).as("words"))
+    row.select(posexplode(col("words")))
+      .select(col("pos").as("word_idx"), col("col").as("word_value"))
+      .orderBy("word_idx")
+  }
+
+  /** Benchmark DECONTAMINATION under the driver gate: the eval set is
+    * the deterministic doc_id % 97 == 0 slice, contamination = sharing
+    * any word 3-gram with it (171 of 500 docs at sf0.01 on this
+    * template-heavy corpus — a rich gate). The engine goes Bloom
+    * broadcast prefilter → exact broadcast refine (ops/Decontaminate);
+    * the oracle computes the FULL exact join, so a Bloom false NEGATIVE
+    * (a missed contaminated doc) or a refine miscount hash-fails. */
+  def q69Decontam(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val corpus = d.filter(col("doc_id") % 97 =!= 0)
+    val evalSet = d.filter(col("doc_id") % 97 === 0)
+    graft.ops.Decontaminate
+      .contaminatedDocs(corpus, evalSet, "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+  }
+
+  /** REPETITION quality stats under the driver gate: per-doc mode
+    * multiplicities via the row-local sort + run-length fold
+    * (ops/Repetition — no per-token shuffle), checked against the
+    * definitional unnest → group → max oracle. All outputs integer or
+    * integer-threshold booleans. */
+  def q70Repetition(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Repetition.stats(docs(spark, dir), "doc_id", "text")
+      .orderBy("doc_id")
 }

@@ -87,6 +87,9 @@ object SparkEntry {
     "q65_packing" -> (Queries.q65Packing _),
     "q66_mixing" -> (Queries.q66Mixing _),
     "q67_quantiles" -> (Queries.q67Quantiles _),
+    "q68_bloom" -> (Queries.q68Bloom _),
+    "q69_decontam" -> (Queries.q69Decontam _),
+    "q70_repetition" -> (Queries.q70Repetition _),
   )
 
   // ---------------- oracle SQL ----------------
@@ -887,5 +890,52 @@ object SparkEntry {
         |SELECT r.q_num, r.q_den, r.rank, vals.v AS value
         |FROM r JOIN vals ON vals.rn = r.rank
         |ORDER BY rank, q_num, q_den""".stripMargin,
+
+    "q68_bloom" -> // every probe recomputed: two mix chains + double-hash index, bit_or per word
+      """WITH vals AS (SELECT DISTINCT (event_id * 37) % 4096 AS v FROM events),
+        |m1 AS (SELECT v, (v * 2654435761) & 4294967295 AS a, (v * 2246822519) & 4294967295 AS b FROM vals),
+        |m2 AS (SELECT v, xor(a, a >> 16) AS a, xor(b, b >> 16) AS b FROM m1),
+        |m3 AS (SELECT v, (a * 49979693) & 4294967295 AS a, (b * 57885161) & 4294967295 AS b FROM m2),
+        |h AS (SELECT xor(a, a >> 15) AS h1, xor(b, b >> 15) AS h2 FROM m3),
+        |probes AS (SELECT (h1 + i * h2) % 65536 AS idx FROM h, unnest(range(0, 4)) t(i)),
+        |b AS (SELECT idx // 32 AS word_idx,
+        |    bit_or(CAST(1 AS BIGINT) << CAST(idx % 32 AS INTEGER)) AS word_value
+        |  FROM probes GROUP BY 1)
+        |SELECT gs.word_idx, COALESCE(b.word_value, 0) AS word_value
+        |FROM (SELECT unnest(range(0, 2048)) AS word_idx) gs
+        |LEFT JOIN b USING (word_idx)
+        |ORDER BY word_idx""".stripMargin,
+
+    "q69_decontam" -> // the FULL exact n-gram join: a bloom false negative hash-fails
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |grams AS (SELECT doc_id, list_aggr(w[i:i+2], 'string_agg', ' ') AS g
+        |  FROM docs, unnest(range(1, len(w) - 1)) t(i)),
+        |eval AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+        |SELECT doc_id, count(DISTINCT grams.g) AS n_hits
+        |FROM grams JOIN eval USING (g)
+        |WHERE doc_id % 97 <> 0
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q70_repetition" -> // the definition: unnest -> group -> max count, per doc
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        |    CAST(greatest(len(w) - 1, 0) AS BIGINT) AS n_bigrams FROM docs),
+        |tok AS (SELECT doc_id, unnest(w) AS t FROM docs),
+        |tcounts AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+        |tc AS (SELECT doc_id, count(*) AS n_distinct_tokens,
+        |    max(c) AS top_token_count FROM tcounts GROUP BY 1),
+        |bg AS (SELECT doc_id, list_aggr(w[i:i+1], 'string_agg', ' ') AS g
+        |  FROM docs, unnest(range(1, len(w))) t(i)),
+        |bcounts AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+        |bc AS (SELECT doc_id, count(*) AS n_distinct_bigrams,
+        |    max(c) AS top_bigram_count FROM bcounts GROUP BY 1)
+        |SELECT base.doc_id, base.n_tokens, tc.n_distinct_tokens, tc.top_token_count,
+        |  base.n_bigrams,
+        |  COALESCE(bc.n_distinct_bigrams, 0) AS n_distinct_bigrams,
+        |  COALESCE(bc.top_bigram_count, 0) AS top_bigram_count,
+        |  (tc.top_token_count * 4 <= base.n_tokens
+        |    AND COALESCE(bc.top_bigram_count, 0) * 10 <= base.n_bigrams) AS repetition_ok
+        |FROM base JOIN tc USING (doc_id) LEFT JOIN bc USING (doc_id)
+        |ORDER BY base.doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{BloomAgg, BloomAggregator}
+
+/** Benchmark DECONTAMINATION — the pretraining-pipeline step that flags
+  * (for removal or audit) every training document sharing a word n-gram
+  * with an evaluation set, so benchmark answers don't leak into the
+  * training corpus.
+  *
+  * Scale design (corpus = 100 TB, eval set = small by nature):
+  *   1. The eval set's distinct n-grams reduce to ONE fixed 8 KiB Bloom
+  *      bitset (functions/BloomAgg — map-side partial agg, OR-merge),
+  *      collected once on the driver (bounded: 2048 words regardless of
+  *      eval size) and broadcast to every executor.
+  *   2. The corpus is scanned ONCE with a row-local candidate filter:
+  *      each doc's n-grams probe the broadcast filter in place. No
+  *      corpus shuffle, no join, no row amplification for the clean
+  *      majority — a doc with zero candidate grams exits the pipeline
+  *      inside the same codegen stage.
+  *   3. Bloom false positives (bounded by fill^K) are removed by an
+  *      exact broadcast equi-join of the surviving (doc, gram) pairs —
+  *      a tiny fraction of the corpus — against the real eval grams.
+  * No false negatives by construction (a present gram always probes set
+  * bits), so the result EXACTLY equals the full join — which is what
+  * the driver-gate oracle computes (q69).
+  */
+object Decontaminate {
+
+  /** Word n-grams of a space-tokenized text column, as codegen'd
+    * built-ins (split → transform over a window index → concat_ws).
+    * Fewer than n tokens → empty array (the `when` guard keeps
+    * `sequence` from descending on a negative stop). */
+  def wordNgrams(textCol: Column, n: Int): Column = {
+    require(n >= 1, s"wordNgrams: n must be >= 1, got $n")
+    val w = split(textCol, " ")
+    when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - lit(n)),
+        i => concat_ws(" ", slice(w, i + lit(1), lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Flag corpus docs sharing any word n-gram with `evalDocs`.
+    * Returns one row per CONTAMINATED doc: (idCol, n_hits) where
+    * n_hits = number of distinct eval n-grams the doc contains. */
+  def contaminatedDocs(corpus: DataFrame, evalDocs: DataFrame,
+                       idCol: String, textCol: String, n: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val evalGrams = evalDocs
+      .select(explode(wordNgrams(col(textCol), n)).as("g"))
+      .distinct()
+
+    // one bounded driver action: the bitset is 2048 words no matter the
+    // eval-set size (the small side by contract, like the join stats jobs)
+    val hashUdf = udf((s: String) => BloomAgg.hashString(s))
+    val bloomAgg = udaf(new BloomAggregator,
+      org.apache.spark.sql.Encoders.scalaLong)
+    val words = evalGrams.agg(bloomAgg(hashUdf(col("g"))).as("w"))
+      .head().getAs[scala.collection.Seq[Long]]("w").toArray
+    val bc = spark.sparkContext.broadcast(words)
+
+    // row-local candidate filter: only grams that probe the broadcast
+    // filter survive to the explode, so clean docs never amplify
+    val candUdf = udf((grams: scala.collection.Seq[String]) =>
+      grams.filter(g => BloomAgg.mayContain(bc.value, BloomAgg.hashString(g))))
+    val cands = corpus.select(col(idCol),
+      explode(candUdf(wordNgrams(col(textCol), n))).as("g"))
+
+    // exact refine: false positives die on the broadcast equi-join
+    cands.join(broadcast(evalGrams), "g")
+      .groupBy(idCol)
+      .agg(countDistinct(col("g")).as("n_hits"))
+  }
+}

@@ -1,0 +1,169 @@
+package graft
+
+import graft.functions.{BloomAgg, BloomAggregator}
+import graft.ops.{Decontaminate, Repetition}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the decontamination family (driver-gated q68/q69/q70):
+  * the Bloom membership sketch (no false negatives EVER, bounded false
+  * positives, OR-merge associativity), the decontamination pipeline
+  * (bloom prefilter + exact refine == full exact join, on planted and
+  * random corpora, with the broadcast plan shape), and the repetition
+  * stats (row-local run-length fold == definitional mode counts).
+  */
+class DecontamSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // ---------------- bloom sketch ----------------
+
+  test("bloom: zero false negatives on 5000 inserted values") {
+    val words = new Array[Long](BloomAgg.WORDS)
+    val vs = (0L until 5000L).map(_ * 7919L + 13L)
+    vs.foreach(BloomAgg.add(words, _))
+    assert(vs.forall(BloomAgg.mayContain(words, _)))
+  }
+
+  test("bloom: false-positive rate bounded near theory at 4096 members") {
+    val words = new Array[Long](BloomAgg.WORDS)
+    (0L until 4096L).foreach(v => BloomAgg.add(words, v))
+    val fill = BloomAgg.fill(words).toDouble / BloomAgg.BITS
+    // fill ≈ 1 - e^(-K·n/BITS) = 0.221 at n = 4096
+    assert(fill > 0.15 && fill < 0.30, s"fill $fill")
+    val probes = (1L to 100000L).map(_ + 1000000L) // disjoint from members
+    val fp = probes.count(BloomAgg.mayContain(words, _))
+    // theory: fill^K ≈ 0.24%; allow generous slack
+    assert(fp < 1000, s"false positives $fp / 100000")
+    assert(fp > 0, "a mid-fill filter with zero FPs in 100k suggests a dead probe")
+  }
+
+  test("bloom: distributed merge == sequential build (assoc + commute)") {
+    val vs = (0L until 2000L).map(_ * 104729L + 7L)
+    val seq = new Array[Long](BloomAgg.WORDS)
+    vs.foreach(BloomAgg.add(seq, _))
+    val agg = new BloomAggregator
+    val parts = vs.grouped(500).map { chunk =>
+      chunk.foldLeft(agg.zero)(agg.reduce)
+    }.toSeq
+    val mergedLR = parts.reduceLeft(agg.merge)
+    assert(mergedLR.sameElements(seq))
+    val mergedRL = parts.reverse.reduceLeft(agg.merge)
+    assert(mergedRL.sameElements(seq))
+  }
+
+  test("bloom: arithmetic-progression keys still spread (the q60 trap)") {
+    // stride-64 ids — a bare multiplicative hash would alias these into
+    // few words; the nonlinear mix must spread them across the bitset
+    val words = new Array[Long](BloomAgg.WORDS)
+    (0L until 1024L).foreach(i => BloomAgg.add(words, i * 64L))
+    val touched = words.count(_ != 0L)
+    assert(touched > 1024, s"only $touched of 2048 words touched") // ≥half
+  }
+
+  // ---------------- decontamination ----------------
+
+  /** Exact model: full n-gram join, no bloom. */
+  private def exactModel(corpus: Seq[(Long, String)], evalDocs: Seq[String],
+                         n: Int): Map[Long, Long] = {
+    def grams(t: String): Set[String] =
+      t.split(" ", -1).sliding(n).filter(_.length == n).map(_.mkString(" ")).toSet
+    val evalGrams = evalDocs.flatMap(grams).toSet
+    corpus.map { case (id, t) => id -> grams(t).count(evalGrams.contains).toLong }
+      .filter(_._2 > 0).toMap
+  }
+
+  test("decontaminate == exact join on a random corpus; planted leak found") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    def doc(): String =
+      Seq.fill(6 + rng.nextInt(10))(vocab(rng.nextInt(vocab.length))).mkString(" ")
+    val evalDocs = Seq.fill(5)(doc())
+    // plant: doc 9000 embeds a verbatim eval span (guaranteed 3-gram leak)
+    val planted = 9000L -> ("xx " + evalDocs.head + " yy")
+    val corpus = (0L until 300L).map(i => (i, doc())) :+ planted
+    val expect = exactModel(corpus, evalDocs, n = 3)
+    assert(expect.contains(9000L), "construction: the planted doc must leak")
+
+    val corpusDf = corpus.toDF("doc_id", "text")
+    val evalDf = evalDocs.map(t => (0L, t)).toDF("doc_id", "text")
+    val got = Decontaminate.contaminatedDocs(corpusDf, evalDf, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+  }
+
+  test("decontaminate plan: broadcast joins only, no shuffle join of the corpus") {
+    import spark.implicits._
+    val corpusDf = (0L until 50L).map(i => (i, s"a b c d$i e")).toDF("doc_id", "text")
+    val evalDf = Seq((0L, "a b c")).toDF("doc_id", "text")
+    val out = Decontaminate.contaminatedDocs(corpusDf, evalDf, "doc_id", "text", 3)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("wordNgrams: short docs yield empty, exact window otherwise") {
+    import spark.implicits._
+    val df = Seq("a b", "a b c", "a b c d").toDF("t")
+      .select(Decontaminate.wordNgrams(col("t"), 3).as("g"))
+    val got = df.collect().map(_.getSeq[String](0).toList)
+    assert(got(0) == Nil)
+    assert(got(1) == List("a b c"))
+    assert(got(2) == List("a b c", "b c d"))
+  }
+
+  // ---------------- repetition stats ----------------
+
+  test("maxMultiplicity == definitional mode count on random arrays") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val vocab = Vector("x", "y", "z", "w", "v")
+    val rows = (0 until 200).map { i =>
+      (i.toLong, Seq.fill(rng.nextInt(30))(vocab(rng.nextInt(vocab.length))))
+    }
+    val df = rows.toDF("id", "arr")
+      .select(col("id"), Repetition.maxMultiplicity(col("arr")).as("m"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = rows.map { case (id, arr) =>
+      id -> (if (arr.isEmpty) 0L
+             else arr.groupBy(identity).values.map(_.size).max.toLong)
+    }.toMap
+    assert(got == expect)
+  }
+
+  test("repetition stats: exact columns on a constructed corpus") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a a a"),            // top token 4, bigram "a a" ×3
+      (2L, "a b a b a"),          // top token 3 (a), top bigram 2
+      (3L, "solo"),               // 1 token, 0 bigrams
+      (4L, "p q r s t u v w x y z0 z1") // 12 distinct: 11 bigrams, passes 1×10 ≤ 11
+    ).toDF("doc_id", "text")
+    val got = Repetition.stats(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    def row(i: Int) = got(i)
+    assert(row(0).getLong(1) == 4 && row(0).getLong(3) == 4 &&
+      row(0).getLong(4) == 3 && row(0).getLong(6) == 3 && !row(0).getBoolean(7))
+    assert(row(1).getLong(3) == 3 && row(1).getLong(6) == 2)
+    assert(row(2).getLong(1) == 1 && row(2).getLong(4) == 0 &&
+      row(2).getLong(6) == 0 && !row(2).getBoolean(7))
+    assert(row(3).getLong(2) == 12 && row(3).getLong(3) == 1 &&
+      row(3).getBoolean(7))
+  }
+
+  test("repetition plan: row-local — no Exchange at all") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c a b")).toDF("doc_id", "text")
+    val plan = Repetition.stats(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+}
