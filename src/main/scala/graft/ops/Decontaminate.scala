@@ -43,13 +43,21 @@ object Decontaminate {
 
   /** Flag corpus docs sharing any word n-gram with `evalDocs`.
     * Returns one row per CONTAMINATED doc: (idCol, n_hits) where
-    * n_hits = number of distinct eval n-grams the doc contains. */
+    * n_hits = number of distinct eval n-grams the doc contains.
+    * `metricName` names the post-bloom candidate-row observe() metric
+    * (the q50 pattern — Bench/QBench print it, so a bloom-fill
+    * regression shows up as a cost number, not a guess); callers running
+    * more than one decontamination per session pass distinct names. */
   def contaminatedDocs(corpus: DataFrame, evalDocs: DataFrame,
-                       idCol: String, textCol: String, n: Int): DataFrame = {
+                       idCol: String, textCol: String, n: Int,
+                       metricName: String = "decontam_cand_rows"): DataFrame = {
     val spark = corpus.sparkSession
+    // localCheckpoint: the gram set is read twice (bloom build + exact
+    // refine) — materialize once instead of re-scanning the eval docs
     val evalGrams = evalDocs
       .select(explode(wordNgrams(col(textCol), n)).as("g"))
       .distinct()
+      .localCheckpoint()
 
     // one bounded driver action: the bitset is 2048 words no matter the
     // eval-set size (the small side by contract, like the join stats jobs)
@@ -67,8 +75,10 @@ object Decontaminate {
     val cands = corpus.select(col(idCol),
       explode(candUdf(wordNgrams(col(textCol), n))).as("g"))
 
-    // exact refine: false positives die on the broadcast equi-join
-    cands.join(broadcast(evalGrams), "g")
+    // exact refine: false positives die on the broadcast equi-join; the
+    // observe sits below the agg's exchange, so it executes once per run
+    cands.observe(metricName, count(lit(1)).as("rows"))
+      .join(broadcast(evalGrams), "g")
       .groupBy(idCol)
       .agg(countDistinct(col("g")).as("n_hits"))
   }

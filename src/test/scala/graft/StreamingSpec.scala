@@ -353,4 +353,68 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == planted)
     assert(streamed.size == 72)
   }
+
+  test("streaming decontamination vs a static eval bloom matches batch q69") {
+    // the incremental-ingest decontamination shape: documents ARRIVE as a
+    // stream; each micro-batch probes the SAME broadcast eval Bloom
+    // row-locally, then the exact stream-static broadcast refine — all
+    // stateless per row, so append mode is legal with no watermark. The
+    // per-doc n_hits aggregation belongs to the consumer; the stream emits
+    // the (doc_id, gram) hit pairs.
+    import graft.functions.BloomAgg
+    import graft.ops.Decontaminate
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val evalDocs = docs.filter(col("doc_id") % 97 === 0)
+    val evalGrams = evalDocs
+      .select(explode(Decontaminate.wordNgrams(col("text"), 3)).as("g"))
+      .distinct().localCheckpoint()
+
+    val hashUdf = udf((s: String) => BloomAgg.hashString(s))
+    val bloomAgg = udaf(new graft.functions.BloomAggregator,
+      org.apache.spark.sql.Encoders.scalaLong)
+    val words = evalGrams.agg(bloomAgg(hashUdf(col("g"))).as("w"))
+      .head().getAs[scala.collection.Seq[Long]]("w").toArray
+    val bc = spark.sparkContext.broadcast(words)
+    val candUdf = udf((grams: scala.collection.Seq[String]) =>
+      grams.filter(g => BloomAgg.mayContain(bc.value, BloomAgg.hashString(g))))
+
+    // arrivals = the corpus slice, split over two micro-batch files
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val streamDir = java.nio.file.Files.createTempDirectory("decontam_stream")
+    corpus.filter(col("doc_id") % 2 === 0).write.mode("overwrite")
+      .parquet(streamDir.resolve("b0").toString)
+    corpus.filter(col("doc_id") % 2 === 1).write.mode("overwrite")
+      .parquet(streamDir.resolve("b1").toString)
+    val arrivals = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(streamDir.toString)
+
+    val hits = arrivals
+      .select(col("doc_id"),
+        explode(candUdf(Decontaminate.wordNgrams(col("text"), 3))).as("g"))
+      .join(broadcast(evalGrams), "g")
+      .select(col("doc_id"), col("g"))
+    val q = hits.writeStream.outputMode("append")
+      .format("memory").queryName("decontam_hits").start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val streamed = spark.table("decontam_hits")
+      .collect().map(r => (r.getLong(0), r.getString(1))).distinct.sorted.toSeq
+    val batch = corpus
+      .select(col("doc_id"),
+        explode(Decontaminate.wordNgrams(col("text"), 3)).as("g"))
+      .join(evalGrams, "g").select(col("doc_id"), col("g"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).distinct.sorted.toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // and the pair set folds to exactly the batch q69 per-doc counts
+    val foldedCounts = streamed.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val q69 = Queries.q69Decontam(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(foldedCounts == q69)
+  }
 }
