@@ -22,10 +22,12 @@ import org.apache.spark.sql.expressions.Aggregator
   * multiply–xorshift–multiply mixes shared with the HLL sketch (a bare
   * multiplicative hash equidistributes arithmetic-progression keys —
   * the q60 finding — which for a Bloom filter under-fills words and
-  * overstates FPR). For v < 2^32 every product stays inside a signed
-  * 64-bit integer, so the whole probe sequence is renderable in the
-  * oracle's SQL constant-for-constant (q68); larger inputs (e.g. string
-  * hashes) wrap identically on every JVM but are engine-internal only.
+  * overstates FPR). For 0 ≤ v < 2^31 every product stays inside a
+  * signed 64-bit integer (v·2654435761 passes Long.MaxValue near
+  * v ≈ 3.47e9, well inside 2^32), so the whole probe sequence is
+  * renderable in the oracle's SQL constant-for-constant (q68); larger
+  * inputs (e.g. string hashes) wrap identically on every JVM but are
+  * engine-internal only.
   */
 object BloomAgg {
   val BITS_POW = 16

@@ -41,17 +41,39 @@ object Decontaminate {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Build the row-local candidate filter for a gram set: reduce
+    * `evalGrams` ("g": string) to the 8 KiB Bloom bitset (one bounded
+    * driver action — 2048 words no matter the eval size, like the join
+    * stats jobs), broadcast it, and return a UDF mapping a gram array
+    * to the subset that probes set bits. Shared by the batch operator
+    * and the streaming ingest twin, so both drive the SAME probe path. */
+  def candidateGramFilter(evalGrams: DataFrame)
+  : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val hashUdf = udf((s: String) => BloomAgg.hashString(s))
+    val bloomAgg = udaf(new BloomAggregator,
+      org.apache.spark.sql.Encoders.scalaLong)
+    val words = evalGrams.agg(bloomAgg(hashUdf(col("g"))).as("w"))
+      .head().getAs[scala.collection.Seq[Long]]("w").toArray
+    val bc = evalGrams.sparkSession.sparkContext.broadcast(words)
+    udf((grams: scala.collection.Seq[String]) =>
+      grams.filter(g => BloomAgg.mayContain(bc.value, BloomAgg.hashString(g))))
+  }
+
   /** Flag corpus docs sharing any word n-gram with `evalDocs`.
     * Returns one row per CONTAMINATED doc: (idCol, n_hits) where
     * n_hits = number of distinct eval n-grams the doc contains.
     * `metricName` names the post-bloom candidate-row observe() metric
     * (the q50 pattern — Bench/QBench print it, so a bloom-fill
     * regression shows up as a cost number, not a guess); callers running
-    * more than one decontamination per session pass distinct names. */
+    * more than one decontamination per session pass distinct names.
+    * Note: the eval gram set is localCheckpoint'd (read twice: bloom
+    * build + exact refine); its blocks live until session end, so a
+    * long-lived session auditing MANY eval sets should bound them by
+    * reusing one session per audit batch — per-call state is 8 KiB of
+    * bloom plus the distinct grams of one (small) eval set. */
   def contaminatedDocs(corpus: DataFrame, evalDocs: DataFrame,
                        idCol: String, textCol: String, n: Int,
                        metricName: String = "decontam_cand_rows"): DataFrame = {
-    val spark = corpus.sparkSession
     // localCheckpoint: the gram set is read twice (bloom build + exact
     // refine) — materialize once instead of re-scanning the eval docs
     val evalGrams = evalDocs
@@ -59,19 +81,9 @@ object Decontaminate {
       .distinct()
       .localCheckpoint()
 
-    // one bounded driver action: the bitset is 2048 words no matter the
-    // eval-set size (the small side by contract, like the join stats jobs)
-    val hashUdf = udf((s: String) => BloomAgg.hashString(s))
-    val bloomAgg = udaf(new BloomAggregator,
-      org.apache.spark.sql.Encoders.scalaLong)
-    val words = evalGrams.agg(bloomAgg(hashUdf(col("g"))).as("w"))
-      .head().getAs[scala.collection.Seq[Long]]("w").toArray
-    val bc = spark.sparkContext.broadcast(words)
-
     // row-local candidate filter: only grams that probe the broadcast
     // filter survive to the explode, so clean docs never amplify
-    val candUdf = udf((grams: scala.collection.Seq[String]) =>
-      grams.filter(g => BloomAgg.mayContain(bc.value, BloomAgg.hashString(g))))
+    val candUdf = candidateGramFilter(evalGrams)
     val cands = corpus.select(col(idCol),
       explode(candUdf(wordNgrams(col(textCol), n))).as("g"))
 

@@ -49,7 +49,11 @@ object Quantiles {
         s"quantile must be a rational in (0, 1], got $num/$den")
     }
     val spark = df.sparkSession
+    // nulls are excluded up front (standard null-ignoring quantile
+    // semantics): counting them into n while no histogram bucket holds
+    // them would shift every resolved rank
     val v = df.select(col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull)
 
     val Row(n: Long, mnAny, mxAny) =
       v.agg(count(lit(1)), min("v"), max("v")).head()

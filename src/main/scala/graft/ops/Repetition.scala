@@ -41,7 +41,10 @@ object Repetition {
   def stats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = split(col(textCol), " ")
     val bigrams = Decontaminate.wordNgrams(col(textCol), 2)
-    docs.select(
+    // null text is EXCLUDED (not emitted as a null-stats row): the q70
+    // oracle's inner join drops such docs, and "stats of no text" has no
+    // meaningful integer answer either way
+    docs.filter(col(textCol).isNotNull).select(
       col(idCol),
       size(w).cast("long").as("n_tokens"),
       size(array_distinct(w)).cast("long").as("n_distinct_tokens"),

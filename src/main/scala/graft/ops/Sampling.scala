@@ -41,15 +41,22 @@ object Sampling {
   /** Number of copies to emit for a row: floor(weight) copies always,
     * plus one more iff mix(id) mod 1000 falls under the fractional
     * part. `weightMilli` is the weight in integer thousandths (1500 =
-    * 1.5x); 0 drops the row, 1000 keeps exactly one copy. */
+    * 1.5x); 0 drops the row, 1000 keeps exactly one copy. A NEGATIVE
+    * weight fails loudly — silently dropping the domain would be
+    * indistinguishable from an intentional weight-0 drop (mirroring
+    * packGreedy's negative-token validation). */
   def copies(id: Column, weightMilli: Column): Column = {
     // Spark's `/` is DOUBLE division even on longs; dividing only the
     // 1000-divisible part keeps the quotient IEEE-exact at any weight
     val whole =
       ((weightMilli - weightMilli % lit(1000L)) / lit(1000L)).cast("long")
-    whole +
+    val n = whole +
       when(mix32(id) % lit(1000L) < weightMilli % lit(1000L), lit(1L))
         .otherwise(lit(0L))
+    when(weightMilli < 0L,
+      raise_error(concat(lit("weightedExplode: negative weight_milli "),
+        weightMilli.cast("string"))).cast("long"))
+      .otherwise(n)
   }
 
   /** Explode each row into its deterministic copy count. Adds a `copy`
@@ -57,6 +64,11 @@ object Sampling {
     * copies vanish. */
   def weightedExplode(df: DataFrame, idCol: String,
                       weightMilli: Column): DataFrame = {
+    Seq("copy", "__n_copies").foreach { c =>
+      require(!df.columns.contains(c),
+        s"weightedExplode: input already has a '$c' column — it would be " +
+          "silently overwritten")
+    }
     val n = copies(col(idCol).cast("long"), weightMilli.cast("long"))
     df.withColumn("__n_copies", n)
       .filter(col("__n_copies") > 0)

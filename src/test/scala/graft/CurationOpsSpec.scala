@@ -88,6 +88,26 @@ class CurationOpsSpec extends AnyFunSuite {
 
   // ---------------- mixing ----------------
 
+  test("mixing: negative weight fails loudly, never a silent drop") {
+    import spark.implicits._
+    val df = Seq((1L, 500L), (2L, -500L)).toDF("id", "wm")
+    val e = intercept[Exception] {
+      Sampling.weightedExplode(df, "id", col("wm")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("negative weight_milli")))
+  }
+
+  test("mixing: refuses an input that already has a copy column") {
+    import spark.implicits._
+    val df = Seq((1L, 500L, 9L)).toDF("id", "wm", "copy")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.weightedExplode(df, "id", col("wm"))
+    }
+    assert(e.getMessage.contains("'copy'"))
+  }
+
   /** JVM mirror of Sampling.mix32 for the model. */
   private def mixModel(id: Long): Long = {
     val m = 0xFFFFFFFFL
@@ -180,6 +200,16 @@ class CurationOpsSpec extends AnyFunSuite {
     val qs = Seq((1L, 97L), (1L, 1L))
     assert(runQuant(vs, qs, fanout = 8) ==
       Seq((1L, 97L, 1L, vs.min), (1L, 1L, 97L, vs.max)))
+  }
+
+  test("quantiles: nulls are excluded, not counted into ranks") {
+    import spark.implicits._
+    val df = Seq[Option[Long]](Some(1L), Some(2L), Some(3L), None, None, None)
+      .toDF("v")
+    val got = Quantiles.exactQuantiles(df, "v", Seq((1L, 2L), (1L, 1L)), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    // null-ignoring semantics: n = 3, median = 2, max = 3
+    assert(got == Map((1L, 2L) -> 2L, (1L, 1L) -> 3L))
   }
 
   test("quantiles: empty input yields empty output; bad inputs fail loudly") {

@@ -361,7 +361,6 @@ class StreamingSpec extends AnyFunSuite {
     // stateless per row, so append mode is legal with no watermark. The
     // per-doc n_hits aggregation belongs to the consumer; the stream emits
     // the (doc_id, gram) hit pairs.
-    import graft.functions.BloomAgg
     import graft.ops.Decontaminate
     val dir = "/root/testdata/sf0.001"
     val docs = spark.read.parquet(s"$dir/documents.parquet")
@@ -370,15 +369,9 @@ class StreamingSpec extends AnyFunSuite {
     val evalGrams = evalDocs
       .select(explode(Decontaminate.wordNgrams(col("text"), 3)).as("g"))
       .distinct().localCheckpoint()
-
-    val hashUdf = udf((s: String) => BloomAgg.hashString(s))
-    val bloomAgg = udaf(new graft.functions.BloomAggregator,
-      org.apache.spark.sql.Encoders.scalaLong)
-    val words = evalGrams.agg(bloomAgg(hashUdf(col("g"))).as("w"))
-      .head().getAs[scala.collection.Seq[Long]]("w").toArray
-    val bc = spark.sparkContext.broadcast(words)
-    val candUdf = udf((grams: scala.collection.Seq[String]) =>
-      grams.filter(g => BloomAgg.mayContain(bc.value, BloomAgg.hashString(g))))
+    // the PRODUCTION probe path (bloom build + broadcast + row-local
+    // filter) — not a reimplementation, so a probe change is covered here
+    val candUdf = Decontaminate.candidateGramFilter(evalGrams)
 
     // arrivals = the corpus slice, split over two micro-batch files
     val corpus = docs.filter(col("doc_id") % 97 =!= 0)
