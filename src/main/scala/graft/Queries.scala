@@ -1984,4 +1984,27 @@ object Queries {
   def q70Repetition(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Repetition.stats(docs(spark, dir), "doc_id", "text")
       .orderBy("doc_id")
+
+  /** BPE-style regex token counting under the driver gate — the
+    * second half of the brief's "token counting (whitespace + a
+    * BPE-ish regex)": the GPT-2-family split shape (letter runs as one
+    * token, each DIGIT its own token, punctuation runs as one token)
+    * over a deterministic mixed-character derivation of the corpus
+    * (the raw synthetic text is letters+spaces only, so the digit and
+    * punctuation branches are driven by appending the doc id and a
+    * punctuation tail — both engines build the identical string). The
+    * pattern uses only portable character-class constructs, so Java
+    * regex and DuckDB's RE2 tokenize identically; all outputs are
+    * integer counts. Row-local, zero-shuffle — the q14 scale shape. */
+  def q71BpeTokens(spark: SparkSession, dir: String): DataFrame = {
+    val t = concat(col("text"), lit(" v"), col("doc_id").cast("string"), lit("!?."))
+    docs(spark, dir).select(
+      col("doc_id"),
+      size(regexp_extract_all(t, lit("[A-Za-z]+"), lit(0))).as("n_alpha_runs"),
+      size(regexp_extract_all(t, lit("[0-9]"), lit(0))).as("n_digit_tokens"),
+      size(regexp_extract_all(t, lit("[^A-Za-z0-9 ]+"), lit(0))).as("n_punct_runs"),
+      size(regexp_extract_all(t,
+        lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]+"), lit(0))).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
 }

@@ -90,6 +90,7 @@ object SparkEntry {
     "q68_bloom" -> (Queries.q68Bloom _),
     "q69_decontam" -> (Queries.q69Decontam _),
     "q70_repetition" -> (Queries.q70Repetition _),
+    "q71_bpe_tokens" -> (Queries.q71BpeTokens _),
   )
 
   // ---------------- oracle SQL ----------------
@@ -937,5 +938,16 @@ object SparkEntry {
         |    AND COALESCE(bc.top_bigram_count, 0) * 10 <= base.n_bigrams) AS repetition_ok
         |FROM base JOIN tc USING (doc_id) LEFT JOIN bc USING (doc_id)
         |ORDER BY base.doc_id""".stripMargin,
+
+    "q71_bpe_tokens" -> // same portable char-class pattern, RE2 side
+      """WITH t AS (SELECT doc_id,
+        |    concat(text, ' v', CAST(doc_id AS VARCHAR), '!?.') AS s
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(s, '[A-Za-z]+')) AS n_alpha_runs,
+        |  len(regexp_extract_all(s, '[0-9]')) AS n_digit_tokens,
+        |  len(regexp_extract_all(s, '[^A-Za-z0-9 ]+')) AS n_punct_runs,
+        |  len(regexp_extract_all(s, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]+')) AS n_bpe_tokens
+        |FROM t ORDER BY doc_id""".stripMargin,
   )
 }
