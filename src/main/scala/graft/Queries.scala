@@ -2007,4 +2007,18 @@ object Queries {
         lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]+"), lit(0))).as("n_bpe_tokens"))
       .orderBy("doc_id")
   }
+
+  /** Deterministic k-per-domain SAMPLING under the driver gate via the
+    * map-side-combine top-k Aggregator (ops/TopK): the 3 smallest
+    * mix32(doc_id) per source — reproducible on any cluster size, no
+    * rand(), and the hot-domain row shuffle of window `row_number` is
+    * replaced by O(k) state per group per partition. The oracle IS
+    * `row_number` (the definition) over the mirrored mix, so a heap
+    * bug, a dropped tie, or a partial-merge ordering error hash-fails. */
+  def q72SamplePerDomain(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("source"))
+    graft.ops.TopK.topKByKey(d, Seq("source"), "doc_id",
+      graft.ops.Sampling.mix32(col("doc_id")), k = 3)
+      .orderBy("source", "rank")
+  }
 }

@@ -91,6 +91,7 @@ object SparkEntry {
     "q69_decontam" -> (Queries.q69Decontam _),
     "q70_repetition" -> (Queries.q70Repetition _),
     "q71_bpe_tokens" -> (Queries.q71BpeTokens _),
+    "q72_sample_domain" -> (Queries.q72SamplePerDomain _),
   )
 
   // ---------------- oracle SQL ----------------
@@ -949,5 +950,17 @@ object SparkEntry {
         |  len(regexp_extract_all(s, '[^A-Za-z0-9 ]+')) AS n_punct_runs,
         |  len(regexp_extract_all(s, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]+')) AS n_bpe_tokens
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q72_sample_domain" -> // the definition: row_number over the mirrored mix
+      """WITH m1 AS (SELECT doc_id, source, (doc_id * 2654435761) & 4294967295 AS a FROM documents),
+        |m2 AS (SELECT doc_id, source, xor(a, a >> 16) AS a2 FROM m1),
+        |m3 AS (SELECT doc_id, source, (a2 * 49979693) & 4294967295 AS a3 FROM m2),
+        |mx AS (SELECT doc_id, source, xor(a3, a3 >> 15) AS h FROM m3),
+        |r AS (SELECT doc_id, source, h,
+        |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rank
+        |  FROM mx)
+        |SELECT source, doc_id, h AS ord, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 3
+        |ORDER BY source, rank""".stripMargin,
   )
 }

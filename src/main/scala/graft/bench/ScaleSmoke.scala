@@ -103,6 +103,75 @@ object ScaleSmoke {
     val ivPow = spark.conf.getOption(graft.join.IntervalJoin.LAST_POW_KEY)
       .map(_.toInt).getOrElse(-1)
 
+    // ---- curation operators at scale: synthetic 30-word docs from a
+    // 40-word vocab (pure codegen'd arithmetic — no driver-side text),
+    // then decontamination, top-k-per-domain (vs the window form it
+    // replaces), greedy packing, and exact quantiles, all on the same
+    // deterministic derivations the driver gate uses at sf scale
+    val docN = math.max(1L, n / 5) // 2M docs at the default 10M points
+    // 1000-word vocab with MIX-based selection: a linear (id·A + k·B)
+    // derivation collapses the corpus to ~1000 distinct 3-grams — every
+    // doc's grams form one arithmetic progression mod 1000 (measured:
+    // 100% of docs flagged contaminated; the HLL progression trap in
+    // text form). mix32(id·31 + k) equidistributes, giving a 10^9-gram
+    // space and a realistic sub-percent contamination rate.
+    val vocabArr = array((0 until 1000).map(i => lit(s"w$i")): _*)
+    val wordCols = (0 until 30).map { k =>
+      element_at(vocabArr,
+        (graft.ops.Sampling.mix32(col("id") * lit(31L) + lit(k.toLong))
+          % lit(1000L) + lit(1L)).cast("int"))
+    }
+    val docsBig = spark.range(docN)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("id"), concat_ws(" ", wordCols: _*).as("text"),
+        (col("id") % 64).as("domain"))
+      .cache()
+    docsBig.count() // materialize outside the timers
+    val evalBig = docsBig.filter(col("id") % 1000 === 0)
+    val (tDec, nDec) = time(graft.ops.Decontaminate.contaminatedDocs(
+      docsBig.filter(col("id") % 1000 =!= 0), evalBig, "id", "text", n = 3,
+      metricName = "smoke_decontam_cand").count())
+    // top-k per domain: the bounded-state Aggregator vs the window
+    // row_number form. Spark 3.5+'s WindowGroupLimit already bounds the
+    // window's shuffle map-side for the rank-filter pattern, so the
+    // measured comparison is buffers-vs-rows (≈3× fewer) plus the
+    // window's required per-partition sort — report shuffle-read rows
+    // for both so the relationship stays measured, not claimed
+    val shufRows = new java.util.concurrent.atomic.AtomicLong()
+    val shufListener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) shufRows.addAndGet(m.shuffleReadMetrics.recordsRead)
+      }
+    }
+    spark.sparkContext.addSparkListener(shufListener)
+    val (tTopk, nTopk) = time(graft.ops.TopK.topKByKey(
+      docsBig, Seq("domain"), "id",
+      graft.ops.Sampling.mix32(col("id")), k = 3).count())
+    org.apache.spark.sql.graft.bridge.waitListenerBus(spark)
+    val topkShuf = shufRows.getAndSet(0L)
+    val winForm = docsBig
+      .withColumn("h", graft.ops.Sampling.mix32(col("id")))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("domain").orderBy(col("h"), col("id"))))
+      .filter(col("rank") <= 3)
+    val (tTopkWin, nTopkWin) = time(winForm.count())
+    org.apache.spark.sql.graft.bridge.waitListenerBus(spark)
+    val winShuf = shufRows.getAndSet(0L)
+    spark.sparkContext.removeSparkListener(shufListener)
+    require(nTopk == nTopkWin,
+      s"top-k aggregator disagrees with window form: $nTopk vs $nTopkWin")
+    val packIn = spark.range(n).select(col("id"),
+      (col("id") % 256).as("shard"), (col("id") % 90 + 10).as("tok"))
+    val (tPack, nPack) = time(graft.ops.Packing
+      .packGreedy(packIn, "id", "shard", "tok", budget = 96L).count())
+    val quantIn = spark.range(n)
+      .select((col("id") * 2654435761L % 100000000L - 50000000L).as("v"))
+    val (tQuant, _) = time(graft.ops.Quantiles.exactQuantiles(
+      quantIn, "v", Seq((1L, 100L), (1L, 2L), (99L, 100L)), fanout = 4096).count())
+    docsBig.unpersist()
+
     // ---- bucketed-layout payoff: the SAME cell join replayed 3x against
     // plain parquet (shuffles both sides every replay) vs cell-bucketed
     // tables (zero-Exchange co-located SMJ) — the repeated-join regime the
@@ -232,6 +301,11 @@ object ScaleSmoke {
         s""""knn_planar_k5_200_queries":{"sec":$tKnnP,"rows":$nKnnP,"points_per_sec":${rps(tKnnP)},"auto_bits":$bKnnP},""" +
         s""""asof_join_1.4m_updates":{"sec":$tAsof,"rows":$nAsof,"points_per_sec":${rps(tAsof)}},""" +
         s""""interval_join_10k_intervals":{"sec":$tIv,"pairs":$nIv,"points_per_sec":${rps(tIv)},"auto_width_pow":$ivPow},""" +
+        s""""decontam_${docN}_docs":{"sec":$tDec,"contaminated":$nDec,"docs_per_sec":${(docN / math.max(tDec, 1e-9)).toLong}},""" +
+        s""""topk_per_domain_${docN}_docs":{"agg_sec":$tTopk,"window_sec":$tTopkWin,"rows":$nTopk,""" +
+        s""""agg_shuffle_rows":$topkShuf,"window_shuffle_rows":$winShuf},""" +
+        s""""packing_${n}_rows":{"sec":$tPack,"rows":$nPack,"rows_per_sec":${rps(tPack)}},""" +
+        s""""quantiles_${n}_rows":{"sec":$tQuant,"rows_per_sec":${rps(tQuant)}},""" +
         s""""bucketed_replay_3x":{"plain_sec":$tPlain3,"bucketed_sec":$tBkt3,""" +
         s""""bucketed_no_exchange":$bktNoExchange,"single_cell_probe_buckets":$selBuckets},""" +
         s""""skew_hot_cell":{"n_points":$hotN,"plain_sec":$tSkewPlain,"salted_sec":$tSkewSalt,""" +

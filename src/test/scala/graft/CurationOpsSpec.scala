@@ -202,6 +202,51 @@ class CurationOpsSpec extends AnyFunSuite {
       Seq((1L, 97L, 1L, vs.min), (1L, 1L, 97L, vs.max)))
   }
 
+  // ---------------- group-wise top-k ----------------
+
+  test("topKByKey == window row_number on random data with ord ties") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    // ord in a tiny range forces heavy ties — the (ord, id) tiebreak path
+    val rows = (0L until 800L).map(i => (i, s"k${rng.nextInt(7)}", rng.nextInt(5).toLong))
+    val df = rows.toDF("id", "key", "o").repartition(7)
+    val got = graft.ops.TopK.topKByKey(df, Seq("key"), "id", col("o"), 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    val expect = rows.groupBy(_._2).toSeq.flatMap { case (k, g) =>
+      g.map(t => (t._3, t._1)).sorted.take(4).zipWithIndex
+        .map { case ((o, id), i) => (k, id, o, i + 1L) }
+    }.sorted
+    assert(got == expect)
+  }
+
+  test("topKByKey: merge is associative/commutative; k > group size keeps all") {
+    val agg = new graft.ops.TopK.TopKAgg(3)
+    val rng = new scala.util.Random(29)
+    val vs = (0 until 200).map(_ => (rng.nextInt(10).toLong, rng.nextLong().abs))
+    val parts = vs.grouped(50).map(_.foldLeft(agg.zero)(agg.reduce)).toSeq
+    val seqAll = vs.foldLeft(agg.zero)(agg.reduce)
+    assert(parts.reduceLeft(agg.merge) == seqAll)
+    assert(parts.reverse.reduceLeft(agg.merge) == seqAll)
+    import spark.implicits._
+    val small = Seq((1L, "a", 5L), (2L, "a", 3L)).toDF("id", "key", "o")
+    val all = graft.ops.TopK.topKByKey(small, Seq("key"), "id", col("o"), 10)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).sorted.toSeq
+    assert(all == Seq((1L, 2L), (2L, 1L))) // both kept, ranked by ord
+  }
+
+  test("topKByKey plan: partial (map-side) aggregation before the exchange") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i, s"k${i % 3}", i % 11)).toDF("id", "key", "o")
+    val plan = graft.ops.TopK.topKByKey(df, Seq("key"), "id", col("o"), 2)
+      .queryExecution.executedPlan.toString
+    // typed-Aggregator two-phase plan: partial ObjectHashAggregate below
+    // the exchange, final above — the window form would have zero partials
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("quantiles: nulls are excluded, not counted into ranks") {
     import spark.implicits._
     val df = Seq[Option[Long]](Some(1L), Some(2L), Some(3L), None, None, None)
