@@ -103,11 +103,11 @@ object ScaleSmoke {
     val ivPow = spark.conf.getOption(graft.join.IntervalJoin.LAST_POW_KEY)
       .map(_.toInt).getOrElse(-1)
 
-    // ---- curation operators at scale: synthetic 30-word docs from a
-    // 40-word vocab (pure codegen'd arithmetic — no driver-side text),
-    // then decontamination, top-k-per-domain (vs the window form it
-    // replaces), greedy packing, and exact quantiles, all on the same
-    // deterministic derivations the driver gate uses at sf scale
+    // ---- curation operators at scale: synthetic 30-word docs (pure
+    // codegen'd arithmetic — no driver-side text), then decontamination,
+    // top-k-per-domain (vs the window form), greedy packing, and exact
+    // quantiles, all on the same deterministic derivations the driver
+    // gate uses at sf scale
     val docN = math.max(1L, n / 5) // 2M docs at the default 10M points
     // 1000-word vocab with MIX-based selection: a linear (id·A + k·B)
     // derivation collapses the corpus to ~1000 distinct 3-grams — every
@@ -162,6 +162,9 @@ object ScaleSmoke {
     spark.sparkContext.removeSparkListener(shufListener)
     require(nTopk == nTopkWin,
       s"top-k aggregator disagrees with window form: $nTopk vs $nTopkWin")
+    // free the cached doc text BEFORE the packing/quantiles timers — a
+    // pinned multi-hundred-MB cache would inflate them via eviction/spill
+    docsBig.unpersist()
     val packIn = spark.range(n).select(col("id"),
       (col("id") % 256).as("shard"), (col("id") % 90 + 10).as("tok"))
     val (tPack, nPack) = time(graft.ops.Packing
@@ -170,7 +173,6 @@ object ScaleSmoke {
       .select((col("id") * 2654435761L % 100000000L - 50000000L).as("v"))
     val (tQuant, _) = time(graft.ops.Quantiles.exactQuantiles(
       quantIn, "v", Seq((1L, 100L), (1L, 2L), (99L, 100L)), fanout = 4096).count())
-    docsBig.unpersist()
 
     // ---- bucketed-layout payoff: the SAME cell join replayed 3x against
     // plain parquet (shuffles both sides every replay) vs cell-bucketed

@@ -68,15 +68,33 @@ object TopK {
 
   /** Keep the k smallest (ordCol, idCol) rows per key. Returns
     * (keyCols..., idCol, ord, rank) with rank 1..k in ascending
-    * (ord, id) order — exactly `row_number` semantics, without the
-    * full-group shuffle. */
+    * (ord, id) order — `row_number` semantics over non-null integral
+    * inputs. ordCol must already be an INTEGRAL type (a fractional
+    * score silently truncated by a long cast would select by id, not
+    * score — scale fractional scores to fixed-point first); null ord
+    * or id rows fail loudly rather than being ranked or dropped. */
   def topKByKey(df: DataFrame, keyCols: Seq[String], idCol: String,
                 ordCol: Column, k: Int): DataFrame = {
+    val reserved = Seq("__ord", "__id", "ord", "rank", "pos", "col")
+    (keyCols :+ idCol).foreach { c =>
+      require(!reserved.contains(c),
+        s"topKByKey: column name '$c' collides with a synthesized " +
+          s"output column (${reserved.mkString(", ")})")
+    }
+    import org.apache.spark.sql.types._
+    val ordType = df.select(ordCol.as("__o")).schema.head.dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(ordType),
+      s"topKByKey: ord column must be integral, got $ordType — scale " +
+        "fractional scores to fixed-point (e.g. (score * 1e6).cast(\"long\"))")
+    def notNull(c: Column, what: String): Column =
+      when(c.isNull, raise_error(lit(
+        s"topKByKey: null $what — rank or drop nulls explicitly upstream")))
+        .otherwise(c)
     val agg = udaf(new TopKAgg(k),
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
     val keyed = df.select(
-      keyCols.map(col) :+ ordCol.cast("long").as("__ord")
-        :+ col(idCol).cast("long").as("__id"): _*)
+      keyCols.map(col) :+ notNull(ordCol, "ord value").cast("long").as("__ord")
+        :+ notNull(col(idCol), s"$idCol value").cast("long").as("__id"): _*)
     keyed
       .groupBy(keyCols.map(col): _*)
       .agg(agg(col("__ord"), col("__id")).as("__top"))

@@ -235,6 +235,28 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(all == Seq((1L, 2L), (2L, 1L))) // both kept, ranked by ord
   }
 
+  test("topKByKey guards: fractional ord, null values, reserved names all loud") {
+    import spark.implicits._
+    val dbl = Seq((1L, "a", 0.9), (2L, "a", 0.3)).toDF("id", "key", "o")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.ops.TopK.topKByKey(dbl, Seq("key"), "id", col("o"), 1)
+    }
+    assert(e1.getMessage.contains("must be integral"))
+    val withNull = Seq((Some(1L), "a", Some(5L)), (Some(2L), "a", None))
+      .toDF("id", "key", "o")
+    val e2 = intercept[Exception] {
+      graft.ops.TopK.topKByKey(withNull, Seq("key"), "id", col("o"), 1).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e2).exists(m => m != null && m.contains("null ord value")))
+    val clash = Seq((1L, 2L, 3L)).toDF("rank", "id", "o")
+    val e3 = intercept[IllegalArgumentException] {
+      graft.ops.TopK.topKByKey(clash, Seq("rank"), "id", col("o"), 1)
+    }
+    assert(e3.getMessage.contains("collides"))
+  }
+
   test("topKByKey plan: partial (map-side) aggregation before the exchange") {
     import spark.implicits._
     val df = (0L until 100L).map(i => (i, s"k${i % 3}", i % 11)).toDF("id", "key", "o")
