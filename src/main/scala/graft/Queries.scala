@@ -2021,4 +2021,28 @@ object Queries {
       graft.ops.Sampling.mix32(col("doc_id")), k = 3)
       .orderBy("source", "rank")
   }
+
+  /** PII REDACTION under the driver gate (ops/Redact): emails, IPv4
+    * addresses, and phone numbers — planted deterministically per doc
+    * (the raw corpus has none; both engines build the identical string,
+    * and even ids get a second email so the multi-match replace path is
+    * driven) — masked with typed placeholders in the fixed
+    * EMAIL → IP → PHONE order. The gate compares the REDACTED STRING
+    * byte-for-byte plus the audit counts, so a pattern, ordering, or
+    * replace-all divergence anywhere hash-fails. */
+  def q73Redact(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val t = concat(col("text"),
+      lit(" contact w"), id.cast("string"), lit("@ex.com or +1-"),
+      (id % 1000).cast("string"), lit("-"),
+      (id * 7 % 10000).cast("string"),
+      lit(" from 10."), (id % 256).cast("string"), lit("."),
+      (id * 3 % 256).cast("string"), lit("."),
+      (id * 7 % 256).cast("string"),
+      when(id % 2 === 0, lit(" cc ops2@corp.net")).otherwise(lit("")))
+    graft.ops.Redact.stats(
+      docs(spark, dir).select(col("doc_id"), t.as("pii_text")),
+      "doc_id", "pii_text")
+      .orderBy("doc_id")
+  }
 }

@@ -92,6 +92,7 @@ object SparkEntry {
     "q70_repetition" -> (Queries.q70Repetition _),
     "q71_bpe_tokens" -> (Queries.q71BpeTokens _),
     "q72_sample_domain" -> (Queries.q72SamplePerDomain _),
+    "q73_redact" -> (Queries.q73Redact _),
   )
 
   // ---------------- oracle SQL ----------------
@@ -962,5 +963,25 @@ object SparkEntry {
         |SELECT source, doc_id, h AS ord, CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 3
         |ORDER BY source, rank""".stripMargin,
+
+    "q73_redact" -> // same chain, same order; 'g' flag (DuckDB defaults to first-match)
+      """WITH t AS (SELECT doc_id,
+        |    concat(text, ' contact w', CAST(doc_id AS VARCHAR), '@ex.com or +1-',
+        |      CAST(doc_id % 1000 AS VARCHAR), '-',
+        |      CAST(doc_id * 7 % 10000 AS VARCHAR),
+        |      ' from 10.', CAST(doc_id % 256 AS VARCHAR), '.',
+        |      CAST(doc_id * 3 % 256 AS VARCHAR), '.',
+        |      CAST(doc_id * 7 % 256 AS VARCHAR),
+        |      CASE WHEN doc_id % 2 = 0 THEN ' cc ops2@corp.net' ELSE '' END) AS s
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(s, '[A-Za-z0-9]+@[A-Za-z0-9.]+[A-Za-z0-9]')) AS n_emails,
+        |  len(regexp_extract_all(s, '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+')) AS n_ips,
+        |  len(regexp_extract_all(s, '\+[0-9][0-9-]+[0-9]')) AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(s,
+        |    '[A-Za-z0-9]+@[A-Za-z0-9.]+[A-Za-z0-9]', '<EMAIL>', 'g'),
+        |    '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+', '<IP>', 'g'),
+        |    '\+[0-9][0-9-]+[0-9]', '<PHONE>', 'g') AS redacted
+        |FROM t ORDER BY doc_id""".stripMargin,
   )
 }

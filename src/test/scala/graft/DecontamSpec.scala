@@ -159,6 +159,27 @@ class DecontamSpec extends AnyFunSuite {
       row(3).getBoolean(7))
   }
 
+  // ---------------- PII redaction ----------------
+
+  test("redact: masks all occurrences, fixed order, counts audit the original") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail a1@x.com and b2@y.org plus 10.0.0.1 and +1-23-456"),
+      (2L, "no pii here at all"),
+      (3L, "adjacent 1.2.3.4 5.6.7.8 and w9@ex.com"),
+      (4L, "digits near dots 1.2 not an ip, +5 not a phone")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Redact.stats(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got(0).getString(4) == "mail <EMAIL> and <EMAIL> plus <IP> and <PHONE>")
+    assert(got(0).getInt(1) == 2 && got(0).getInt(2) == 1 && got(0).getInt(3) == 1)
+    assert(got(1).getString(4) == "no pii here at all" &&
+      got(1).getInt(1) + got(1).getInt(2) + got(1).getInt(3) == 0)
+    assert(got(2).getString(4) == "adjacent <IP> <IP> and <EMAIL>")
+    // partial look-alikes stay untouched: 1.2 is not an IPv4, +5 no digits after
+    assert(got(3).getString(4) == "digits near dots 1.2 not an ip, +5 not a phone")
+  }
+
   test("repetition plan: row-local — no Exchange at all") {
     import spark.implicits._
     val df = Seq((1L, "a b c a b")).toDF("doc_id", "text")
