@@ -2045,4 +2045,31 @@ object Queries {
       "doc_id", "pii_text")
       .orderBy("doc_id")
   }
+
+  /** NORMALIZED DEDUP KEYS under the driver gate (ops/Normalize): the
+    * CCNet-style normalize-before-dedup step. Each doc gets a planted
+    * NOISY twin — uppercased, wrapped in extra whitespace, salted with
+    * doc_id-derived digits and punctuation — that must collapse to the
+    * SAME key as the original (every planted char normalizes to
+    * whitespace, which the collapse absorbs). The gate returns each
+    * row's key md5 plus the per-key duplicate count, so a divergence
+    * in any normalization step, or a twin failing to collapse,
+    * hash-fails. */
+  def q74NormDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val id = col("doc_id")
+    val base = docs(spark, dir).select(id, col("text"))
+    val noisy = base.select(
+      id,
+      concat(lit("  "), upper(col("text")), lit(" "),
+        (id * 7 % 1000).cast("string"), lit(", #"),
+        (id % 97).cast("string"), lit("!  ")).as("text"))
+    val u = base.withColumn("variant", lit("orig"))
+      .unionByName(noisy.withColumn("variant", lit("noisy")))
+    graft.ops.Normalize.withKey(u, "text")
+      .select(col("doc_id"), col("variant"), col("key_md5"))
+      .withColumn("dup_count",
+        count(lit(1)).over(Window.partitionBy("key_md5")))
+      .orderBy("doc_id", "variant")
+  }
 }

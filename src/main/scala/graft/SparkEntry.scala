@@ -93,6 +93,7 @@ object SparkEntry {
     "q71_bpe_tokens" -> (Queries.q71BpeTokens _),
     "q72_sample_domain" -> (Queries.q72SamplePerDomain _),
     "q73_redact" -> (Queries.q73Redact _),
+    "q74_norm_dedup" -> (Queries.q74NormDedup _),
   )
 
   // ---------------- oracle SQL ----------------
@@ -983,5 +984,21 @@ object SparkEntry {
         |    '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+', '<IP>', 'g'),
         |    '\+[0-9][0-9-]+[0-9]', '<PHONE>', 'g') AS redacted
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q74_norm_dedup" -> // same normalize chain; 'g' flag (DuckDB defaults to first-match)
+      """WITH u AS (
+        |  SELECT doc_id, text, 'orig' AS variant FROM documents
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    concat('  ', upper(text), ' ', CAST(doc_id * 7 % 1000 AS VARCHAR),
+        |      ', #', CAST(doc_id % 97 AS VARCHAR), '!  ') AS text,
+        |    'noisy' AS variant FROM documents),
+        |k AS (SELECT doc_id, variant,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z ]', ' ', 'g'), ' +', ' ', 'g'))) AS key_md5
+        |  FROM u)
+        |SELECT doc_id, variant, key_md5,
+        |  COUNT(*) OVER (PARTITION BY key_md5) AS dup_count
+        |FROM k ORDER BY doc_id, variant""".stripMargin,
   )
 }

@@ -180,6 +180,42 @@ class DecontamSpec extends AnyFunSuite {
     assert(got(3).getString(4) == "digits near dots 1.2 not an ip, +5 not a phone")
   }
 
+  // ---------------- normalized dedup keys ----------------
+
+  test("normKey: case/digit/punct/whitespace-insensitive, word-splitting, idempotent") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "The Quick  Brown fox"),
+      (2L, "  the quick brown FOX!! 42 "),   // must collapse onto 1
+      (3L, "foo,bar"),                        // punctuation SPLITS, not fuses
+      (4L, "foo bar"),                        // ... so 3 == 4
+      (5L, "foobar")                          // distinct from 3/4
+    ).toDF("doc_id", "text")
+    val keys = graft.ops.Normalize.withKey(df, "text")
+      .orderBy("doc_id").select("key_md5").as[String].collect()
+    assert(keys(0) == keys(1) && keys(2) == keys(3) && keys(2) != keys(4))
+    // idempotence: normalizing an already-normal string is a no-op
+    val norm = df.select(graft.ops.Normalize.normKey($"text").as("n"))
+      .select(graft.ops.Normalize.normKey($"n") === $"n").as[Boolean].collect()
+    assert(norm.forall(identity))
+  }
+
+  test("normalized dedup: noisy twins collapse; min-id keeper; groupBy shape") {
+    import spark.implicits._
+    val df = Seq(
+      (10L, "alpha beta"), (11L, "  ALPHA, beta!  "), (12L, "gamma")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Normalize.dedup(df, "doc_id", "text")
+      .orderBy("keeper").collect()
+    assert(got.length == 2)
+    assert(got(0).getLong(1) == 2L && got(0).getLong(2) == 10L)
+    assert(got(1).getLong(1) == 1L && got(1).getLong(2) == 12L)
+    // dedup is a hash groupBy — partial aggregation below the Exchange
+    val plan = graft.ops.Normalize.dedup(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate") && !plan.contains("CartesianProduct"))
+  }
+
   test("repetition plan: row-local — no Exchange at all") {
     import spark.implicits._
     val df = Seq((1L, "a b c a b")).toDF("doc_id", "text")
