@@ -2072,4 +2072,27 @@ object Queries {
         count(lit(1)).over(Window.partitionBy("key_md5")))
       .orderBy("doc_id", "variant")
   }
+
+  /** URL EXTRACTION + DOMAIN NORMALIZATION under the driver gate
+    * (ops/Urls): URLs planted deterministically per doc — a
+    * www-prefixed mixed-case subdomain host, a two-label cdn host, and
+    * (every 4th doc) a mixed-case mirror — so the gate drives group-1
+    * multi-extraction, case normalization, www-stripping, and the
+    * two-label apex rule through per-apex counts + distinct-doc counts;
+    * any divergence in extraction or normalization hash-fails. */
+  def q75UrlDomains(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val t = concat(col("text"),
+      lit(" see https://WWW.s"), (id % 7).cast("string"),
+      lit(".example-"), (id % 3).cast("string"),
+      lit(".com/p/"), id.cast("string"),
+      lit(" and http://cdn"), (id % 5).cast("string"),
+      lit(".net/x?id="), id.cast("string"),
+      when(id % 4 === 0, lit(" plus https://Mirror.example-0.com/q"))
+        .otherwise(lit("")))
+    graft.ops.Urls.domainStats(
+      docs(spark, dir).select(id, t.as("url_text")),
+      "doc_id", "url_text")
+      .orderBy("apex")
+  }
 }

@@ -94,6 +94,7 @@ object SparkEntry {
     "q72_sample_domain" -> (Queries.q72SamplePerDomain _),
     "q73_redact" -> (Queries.q73Redact _),
     "q74_norm_dedup" -> (Queries.q74NormDedup _),
+    "q75_url_domains" -> (Queries.q75UrlDomains _),
   )
 
   // ---------------- oracle SQL ----------------
@@ -1000,5 +1001,26 @@ object SparkEntry {
         |SELECT doc_id, variant, key_md5,
         |  COUNT(*) OVER (PARTITION BY key_md5) AS dup_count
         |FROM k ORDER BY doc_id, variant""".stripMargin,
+
+    "q75_url_domains" -> // group-1 extraction; same normalize chain both engines
+      """WITH t AS (SELECT doc_id,
+        |    concat(text, ' see https://WWW.s', CAST(doc_id % 7 AS VARCHAR),
+        |      '.example-', CAST(doc_id % 3 AS VARCHAR),
+        |      '.com/p/', CAST(doc_id AS VARCHAR),
+        |      ' and http://cdn', CAST(doc_id % 5 AS VARCHAR),
+        |      '.net/x?id=', CAST(doc_id AS VARCHAR),
+        |      CASE WHEN doc_id % 4 = 0
+        |        THEN ' plus https://Mirror.example-0.com/q' ELSE '' END) AS s
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(s, 'https?://([A-Za-z0-9.-]+)', 1)) AS host
+        |  FROM t),
+        |a AS (SELECT doc_id,
+        |    regexp_extract(regexp_replace(lower(host), '^www\.', ''),
+        |      '([a-z0-9-]+\.[a-z0-9-]+)$', 1) AS apex
+        |  FROM h)
+        |SELECT apex, COUNT(*) AS n_urls, COUNT(DISTINCT doc_id) AS n_docs,
+        |  MIN(doc_id) AS keeper
+        |FROM a GROUP BY apex ORDER BY apex""".stripMargin,
   )
 }

@@ -216,6 +216,30 @@ class DecontamSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate") && !plan.contains("CartesianProduct"))
   }
 
+  // ---------------- URL / domain extraction ----------------
+
+  test("urls: host extraction, www-strip, case norm, two-label apex, stats") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "see https://WWW.Sub.Ex-A.com/p?q=1 and http://b.org/x"),
+      (2L, "bare https://ex-a.com/y plus https://cdn.Ex-A.com/z"),
+      (3L, "no urls here at all")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Urls.domainStats(df, "doc_id", "text")
+      .orderBy("apex").collect()
+    // apexes: b.org (1 url, doc 1), ex-a.com (3 urls across docs 1+2)
+    assert(got.map(_.getString(0)).toSeq == Seq("b.org", "ex-a.com"))
+    assert(got(0).getLong(1) == 1L && got(0).getLong(2) == 1L && got(0).getLong(3) == 1L)
+    assert(got(1).getLong(1) == 3L && got(1).getLong(2) == 2L && got(1).getLong(3) == 1L)
+    // doc 3 contributes nothing: empty extract array explodes to no rows
+    assert(got.map(_.getLong(1)).sum == 4L)
+    // normalizeHost strips exactly one leading www., lowercases
+    val n = df.sparkSession.range(1).select(
+      graft.ops.Urls.normalizeHost(lit("WWW.Mirror.Ex.COM")).as("h"))
+      .as[String].head()
+    assert(n == "mirror.ex.com")
+  }
+
   test("repetition plan: row-local — no Exchange at all") {
     import spark.implicits._
     val df = Seq((1L, "a b c a b")).toDF("doc_id", "text")
