@@ -162,6 +162,30 @@ object ScaleSmoke {
     spark.sparkContext.removeSparkListener(shufListener)
     require(nTopk == nTopkWin,
       s"top-k aggregator disagrees with window form: $nTopk vs $nTopkWin")
+    // text-curation regexp kernels at scale, same 2M-doc corpus: PII and
+    // URLs planted inline per doc (the regexp scan cost is paid on every
+    // char either way); aggregates over the OUTPUT columns so column
+    // pruning can't skip the replace/extract work being measured
+    val piiIn = docsBig.select(col("id"),
+      concat(col("text"), lit(" w"), col("id").cast("string"),
+        lit("@ex.com 10.1.2.3 +1-23-456 https://WWW.s"),
+        (col("id") % 100).cast("string"), lit(".ex"),
+        (col("id") % 100).cast("string"), lit(".com/p")).as("text"))
+      .cache()
+    piiIn.count()
+    val (tRedact, redactChars) = time(
+      graft.ops.Redact.stats(piiIn, "id", "text")
+        .select(sum(length(col("redacted"))).as("s")).head().getLong(0))
+    // the vocab is w0..w999 — normalization strips digits, which would
+    // collapse every doc to one key (and one hot group); translate digits
+    // to letters so per-doc distinctness survives the normalize chain
+    val normIn = docsBig.select(col("id"),
+      translate(col("text"), "0123456789", "abcdefghij").as("text"))
+    val (tNorm, nNormKeys) = time(
+      graft.ops.Normalize.dedup(normIn, "id", "text").count())
+    val (tUrl, nApex) = time(
+      graft.ops.Urls.domainStats(piiIn, "id", "text").count())
+    piiIn.unpersist()
     // free the cached doc text BEFORE the packing/quantiles timers — a
     // pinned multi-hundred-MB cache would inflate them via eviction/spill
     docsBig.unpersist()
@@ -306,6 +330,9 @@ object ScaleSmoke {
         s""""decontam_${docN}_docs":{"sec":$tDec,"contaminated":$nDec,"docs_per_sec":${(docN / math.max(tDec, 1e-9)).toLong}},""" +
         s""""topk_per_domain_${docN}_docs":{"agg_sec":$tTopk,"window_sec":$tTopkWin,"rows":$nTopk,""" +
         s""""agg_shuffle_rows":$topkShuf,"window_shuffle_rows":$winShuf},""" +
+        s""""redact_${docN}_docs":{"sec":$tRedact,"chars_out":$redactChars,"docs_per_sec":${(docN / math.max(tRedact, 1e-9)).toLong}},""" +
+        s""""norm_dedup_${docN}_docs":{"sec":$tNorm,"distinct_keys":$nNormKeys,"docs_per_sec":${(docN / math.max(tNorm, 1e-9)).toLong}},""" +
+        s""""url_domains_${docN}_docs":{"sec":$tUrl,"apex_domains":$nApex,"docs_per_sec":${(docN / math.max(tUrl, 1e-9)).toLong}},""" +
         s""""packing_${n}_rows":{"sec":$tPack,"rows":$nPack,"rows_per_sec":${rps(tPack)}},""" +
         s""""quantiles_${n}_rows":{"sec":$tQuant,"rows_per_sec":${rps(tQuant)}},""" +
         s""""bucketed_replay_3x":{"plain_sec":$tPlain3,"bucketed_sec":$tBkt3,""" +
