@@ -966,7 +966,8 @@ object SparkEntry {
         |FROM r WHERE rank <= 3
         |ORDER BY source, rank""".stripMargin,
 
-    "q73_redact" -> // same chain, same order; 'g' flag (DuckDB defaults to first-match)
+    "q73_redact" -> // same chain, same EMAIL->PHONE->IP order, per-stage counts;
+      // 'g' flag (DuckDB defaults to first-match)
       """WITH t AS (SELECT doc_id,
         |    concat(text, ' contact w', CAST(doc_id AS VARCHAR), '@ex.com or +1-',
         |      CAST(doc_id % 1000 AS VARCHAR), '-',
@@ -975,16 +976,20 @@ object SparkEntry {
         |      CAST(doc_id * 3 % 256 AS VARCHAR), '.',
         |      CAST(doc_id * 7 % 256 AS VARCHAR),
         |      CASE WHEN doc_id % 2 = 0 THEN ' cc ops2@corp.net' ELSE '' END) AS s
-        |  FROM documents)
+        |  FROM documents),
+        |e AS (SELECT doc_id, s,
+        |    regexp_replace(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[A-Za-z0-9]',
+        |      '<EMAIL>', 'g') AS after_email FROM t),
+        |p AS (SELECT doc_id, s, after_email,
+        |    regexp_replace(after_email, '\+[0-9][0-9.-]+[0-9]',
+        |      '<PHONE>', 'g') AS after_phone FROM e)
         |SELECT doc_id,
-        |  len(regexp_extract_all(s, '[A-Za-z0-9]+@[A-Za-z0-9.]+[A-Za-z0-9]')) AS n_emails,
-        |  len(regexp_extract_all(s, '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+')) AS n_ips,
-        |  len(regexp_extract_all(s, '\+[0-9][0-9-]+[0-9]')) AS n_phones,
-        |  regexp_replace(regexp_replace(regexp_replace(s,
-        |    '[A-Za-z0-9]+@[A-Za-z0-9.]+[A-Za-z0-9]', '<EMAIL>', 'g'),
-        |    '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+', '<IP>', 'g'),
-        |    '\+[0-9][0-9-]+[0-9]', '<PHONE>', 'g') AS redacted
-        |FROM t ORDER BY doc_id""".stripMargin,
+        |  len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[A-Za-z0-9]')) AS n_emails,
+        |  len(regexp_extract_all(after_phone, '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+')) AS n_ips,
+        |  len(regexp_extract_all(after_email, '\+[0-9][0-9.-]+[0-9]')) AS n_phones,
+        |  regexp_replace(after_phone, '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+',
+        |    '<IP>', 'g') AS redacted
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     "q74_norm_dedup" -> // same normalize chain; 'g' flag (DuckDB defaults to first-match)
       """WITH u AS (
@@ -1015,10 +1020,13 @@ object SparkEntry {
         |h AS (SELECT doc_id,
         |    unnest(regexp_extract_all(s, 'https?://([A-Za-z0-9.-]+)', 1)) AS host
         |  FROM t),
+        |n AS (SELECT doc_id,
+        |    regexp_replace(lower(host), '^www\.', '') AS host FROM h),
         |a AS (SELECT doc_id,
-        |    regexp_extract(regexp_replace(lower(host), '^www\.', ''),
-        |      '([a-z0-9-]+\.[a-z0-9-]+)$', 1) AS apex
-        |  FROM h)
+        |    CASE WHEN regexp_matches(host, '^[0-9.]+$') THEN host
+        |      ELSE coalesce(nullif(regexp_extract(host,
+        |        '([a-z0-9-]+\.[a-z0-9-]+)$', 1), ''), host) END AS apex
+        |  FROM n)
         |SELECT apex, COUNT(*) AS n_urls, COUNT(DISTINCT doc_id) AS n_docs,
         |  MIN(doc_id) AS keeper
         |FROM a GROUP BY apex ORDER BY apex""".stripMargin,

@@ -176,19 +176,22 @@ object ScaleSmoke {
     val (tRedact, redactChars) = time(
       graft.ops.Redact.stats(piiIn, "id", "text")
         .select(sum(length(col("redacted"))).as("s")).head().getLong(0))
-    // the vocab is w0..w999 — normalization strips digits, which would
-    // collapse every doc to one key (and one hot group); translate digits
-    // to letters so per-doc distinctness survives the normalize chain
-    val normIn = docsBig.select(col("id"),
-      translate(col("text"), "0123456789", "abcdefghij").as("text"))
-    val (tNorm, nNormKeys) = time(
-      graft.ops.Normalize.dedup(normIn, "id", "text").count())
     val (tUrl, nApex) = time(
       graft.ops.Urls.domainStats(piiIn, "id", "text").count())
     piiIn.unpersist()
-    // free the cached doc text BEFORE the packing/quantiles timers — a
-    // pinned multi-hundred-MB cache would inflate them via eviction/spill
-    docsBig.unpersist()
+    // the vocab is w0..w999 — normalization strips digits, which would
+    // collapse every doc to one key (and one hot group); translate digits
+    // to letters so per-doc distinctness survives the normalize chain.
+    // Pre-materialize (like piiIn) so the timer sees the kernel, not the
+    // input prep, and no other multi-hundred-MB cache is pinned under it
+    val normIn = docsBig.select(col("id"),
+      translate(col("text"), "0123456789", "abcdefghij").as("text"))
+      .cache()
+    normIn.count()
+    docsBig.unpersist() // last reader done — don't pin it under the timer
+    val (tNorm, nNormKeys) = time(
+      graft.ops.Normalize.dedup(normIn, "id", "text").count())
+    normIn.unpersist()
     val packIn = spark.range(n).select(col("id"),
       (col("id") % 256).as("shard"), (col("id") % 90 + 10).as("tok"))
     val (tPack, nPack) = time(graft.ops.Packing

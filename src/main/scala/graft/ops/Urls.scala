@@ -14,13 +14,18 @@ import org.apache.spark.sql.functions._
   * apex: last two dot-separated labels — the registrable-domain
   * approximation (a public-suffix list is external data; two labels is
   * the deterministic, offline-reproducible stand-in, and the seam to
-  * swap a real PSL into).
+  * swap a real PSL into). Hosts with no registrable domain keep their
+  * whole host as the apex rather than collapsing into one fake group:
+  * dotless hosts (localhost, intranet names) have no two-label suffix,
+  * and IP-literal hosts would otherwise yield a meaningless trailing
+  * octet pair ("192.168.0.1" → "0.1").
   *
   * Scale design: extraction is a row-local codegen'd
   * regexp_extract_all; the per-URL explode amplifies only by the URL
-  * count per doc; domainStats is then a hash-groupBy on the apex
-  * (map-side partial agg, one shuffle) — the same shape as exact
-  * dedup, never all-pairs.
+  * count per doc; domainStats is then hash-aggregation, never
+  * all-pairs — note it is a TWO-round aggregate (countDistinct plans
+  * a partial agg over (apex, doc) and a final agg over apex, i.e. two
+  * Exchanges), the standard Spark distinct-count shape.
   */
 object Urls {
   val URL_HOST = "https?://([A-Za-z0-9.-]+)"
@@ -32,7 +37,10 @@ object Urls {
     regexp_replace(lower(h), "^www\\.", "")
 
   def apex(h: Column): Column =
-    regexp_extract(h, "([a-z0-9-]+\\.[a-z0-9-]+)$", 1)
+    when(h.rlike("^[0-9.]+$"), h) // IP literal: no registrable domain
+      .otherwise(coalesce(
+        nullif(regexp_extract(h, "([a-z0-9-]+\\.[a-z0-9-]+)$", 1), lit("")),
+        h)) // dotless host (localhost, intranet): keep whole host
 
   /** Per-apex-domain URL count, distinct-doc count, and min-id keeper. */
   def domainStats(df: DataFrame, idCol: String, textCol: String): DataFrame =

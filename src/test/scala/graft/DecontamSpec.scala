@@ -161,13 +161,16 @@ class DecontamSpec extends AnyFunSuite {
 
   // ---------------- PII redaction ----------------
 
-  test("redact: masks all occurrences, fixed order, counts audit the original") {
+  test("redact: masks all occurrences, fixed order, per-stage audit counts") {
     import spark.implicits._
     val df = Seq(
       (1L, "mail a1@x.com and b2@y.org plus 10.0.0.1 and +1-23-456"),
       (2L, "no pii here at all"),
       (3L, "adjacent 1.2.3.4 5.6.7.8 and w9@ex.com"),
-      (4L, "digits near dots 1.2 not an ip, +5 not a phone")
+      (4L, "digits near dots 1.2 not an ip, +5 not a phone"),
+      (5L, "real-world john.doe+tag@my-site.com fully masked"),
+      (6L, "dotted phone +1.555.123.4567 is a phone, not an ip"),
+      (7L, "phone then ip +1-23-456 10.0.0.1 stay separate")
     ).toDF("doc_id", "text")
     val got = graft.ops.Redact.stats(df, "doc_id", "text")
       .orderBy("doc_id").collect()
@@ -178,6 +181,15 @@ class DecontamSpec extends AnyFunSuite {
     assert(got(2).getString(4) == "adjacent <IP> <IP> and <EMAIL>")
     // partial look-alikes stay untouched: 1.2 is not an IPv4, +5 no digits after
     assert(got(3).getString(4) == "digits near dots 1.2 not an ip, +5 not a phone")
+    // dotted locals, plus-tags, hyphenated domains: no PII fragments leak
+    assert(got(4).getString(4) == "real-world <EMAIL> fully masked")
+    assert(got(4).getInt(1) == 1)
+    // PHONE runs before IP: a dotted phone is audited as a phone
+    assert(got(5).getString(4) == "dotted phone <PHONE> is a phone, not an ip")
+    assert(got(5).getInt(2) == 0 && got(5).getInt(3) == 1)
+    // ...and a space-separated ip after a phone is still an ip
+    assert(got(6).getString(4) == "phone then ip <PHONE> <IP> stay separate")
+    assert(got(6).getInt(2) == 1 && got(6).getInt(3) == 1)
   }
 
   // ---------------- normalized dedup keys ----------------
@@ -223,16 +235,19 @@ class DecontamSpec extends AnyFunSuite {
     val df = Seq(
       (1L, "see https://WWW.Sub.Ex-A.com/p?q=1 and http://b.org/x"),
       (2L, "bare https://ex-a.com/y plus https://cdn.Ex-A.com/z"),
-      (3L, "no urls here at all")
+      (3L, "no urls here at all"),
+      (4L, "dotless http://localhost/a and ip http://192.168.0.1/b")
     ).toDF("doc_id", "text")
     val got = graft.ops.Urls.domainStats(df, "doc_id", "text")
       .orderBy("apex").collect()
-    // apexes: b.org (1 url, doc 1), ex-a.com (3 urls across docs 1+2)
-    assert(got.map(_.getString(0)).toSeq == Seq("b.org", "ex-a.com"))
-    assert(got(0).getLong(1) == 1L && got(0).getLong(2) == 1L && got(0).getLong(3) == 1L)
-    assert(got(1).getLong(1) == 3L && got(1).getLong(2) == 2L && got(1).getLong(3) == 1L)
+    // apexes: ip-literal and dotless hosts keep the WHOLE host (no fake
+    // "0.1" octet-pair apex, no shared "" group), then b.org, ex-a.com
+    assert(got.map(_.getString(0)).toSeq ==
+      Seq("192.168.0.1", "b.org", "ex-a.com", "localhost"))
+    assert(got(1).getLong(1) == 1L && got(1).getLong(2) == 1L && got(1).getLong(3) == 1L)
+    assert(got(2).getLong(1) == 3L && got(2).getLong(2) == 2L && got(2).getLong(3) == 1L)
     // doc 3 contributes nothing: empty extract array explodes to no rows
-    assert(got.map(_.getLong(1)).sum == 4L)
+    assert(got.map(_.getLong(1)).sum == 6L)
     // normalizeHost strips exactly one leading www., lowercases
     val n = df.sparkSession.range(1).select(
       graft.ops.Urls.normalizeHost(lit("WWW.Mirror.Ex.COM")).as("h"))
