@@ -2022,20 +2022,28 @@ object Queries {
       .orderBy("source", "rank")
   }
 
-  /** PII REDACTION under the driver gate (ops/Redact): emails, IPv4
-    * addresses, and phone numbers — planted deterministically per doc
-    * (the raw corpus has none; both engines build the identical string,
-    * and even ids get a second email so the multi-match replace path is
-    * driven) — masked with typed placeholders in the fixed
-    * EMAIL → IP → PHONE order. The gate compares the REDACTED STRING
-    * byte-for-byte plus the audit counts, so a pattern, ordering, or
-    * replace-all divergence anywhere hash-fails. */
+  /** PII REDACTION under the driver gate (ops/Redact): emails, phone
+    * numbers, and IPv4 addresses — planted deterministically per doc
+    * (the raw corpus has none; both engines build the identical
+    * string) — masked with typed placeholders in the fixed
+    * EMAIL → PHONE → IP order. The planting drives every reviewed
+    * pattern path: the email has a dotted local with a plus-tag and a
+    * hyphenated domain; even ids get a second email (multi-match
+    * replace) AND a DOT-separated four-segment phone whose digit tail
+    * is itself a dotted quad — so the phone-before-IP ordering is
+    * hash-gated, not just spec'd; odd ids use dash phones. The gate
+    * compares the REDACTED STRING byte-for-byte plus the per-stage
+    * audit counts, so a pattern, ordering, or replace-all divergence
+    * anywhere hash-fails. */
   def q73Redact(spark: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id")
+    val sep = when(id % 2 === 0, lit(".")).otherwise(lit("-"))
     val t = concat(col("text"),
-      lit(" contact w"), id.cast("string"), lit("@ex.com or +1-"),
-      (id % 1000).cast("string"), lit("-"),
-      (id * 7 % 10000).cast("string"),
+      lit(" contact w"), id.cast("string"), lit(".doe+t@ex-"),
+      (id % 9).cast("string"), lit(".com or +1"), sep,
+      (id % 1000).cast("string"), sep,
+      (id * 7 % 10000).cast("string"), sep,
+      (id * 3 % 100).cast("string"),
       lit(" from 10."), (id % 256).cast("string"), lit("."),
       (id * 3 % 256).cast("string"), lit("."),
       (id * 7 % 256).cast("string"),

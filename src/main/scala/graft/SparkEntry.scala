@@ -968,15 +968,20 @@ object SparkEntry {
 
     "q73_redact" -> // same chain, same EMAIL->PHONE->IP order, per-stage counts;
       // 'g' flag (DuckDB defaults to first-match)
-      """WITH t AS (SELECT doc_id,
-        |    concat(text, ' contact w', CAST(doc_id AS VARCHAR), '@ex.com or +1-',
-        |      CAST(doc_id % 1000 AS VARCHAR), '-',
-        |      CAST(doc_id * 7 % 10000 AS VARCHAR),
+      """WITH s0 AS (SELECT doc_id, text,
+        |    CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '-' END AS sep
+        |  FROM documents),
+        |t AS (SELECT doc_id,
+        |    concat(text, ' contact w', CAST(doc_id AS VARCHAR), '.doe+t@ex-',
+        |      CAST(doc_id % 9 AS VARCHAR), '.com or +1', sep,
+        |      CAST(doc_id % 1000 AS VARCHAR), sep,
+        |      CAST(doc_id * 7 % 10000 AS VARCHAR), sep,
+        |      CAST(doc_id * 3 % 100 AS VARCHAR),
         |      ' from 10.', CAST(doc_id % 256 AS VARCHAR), '.',
         |      CAST(doc_id * 3 % 256 AS VARCHAR), '.',
         |      CAST(doc_id * 7 % 256 AS VARCHAR),
         |      CASE WHEN doc_id % 2 = 0 THEN ' cc ops2@corp.net' ELSE '' END) AS s
-        |  FROM documents),
+        |  FROM s0),
         |e AS (SELECT doc_id, s,
         |    regexp_replace(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[A-Za-z0-9]',
         |      '<EMAIL>', 'g') AS after_email FROM t),
