@@ -2097,7 +2097,12 @@ object Queries {
       lit(" and http://cdn"), (id % 5).cast("string"),
       lit(".net/x?id="), id.cast("string"),
       when(id % 4 === 0, lit(" plus https://Mirror.example-0.com/q"))
-        .otherwise(lit("")))
+        .otherwise(lit("")),
+      // userinfo + FQDN trailing dot in one plant: the host must come out
+      // as the existing example-{k}.com apex, not "deploy" (old pattern's
+      // group 1) or a separate "….com." group
+      lit(" ref https://deploy@Www.mirror"), (id % 2).cast("string"),
+      lit(".example-"), (id % 3).cast("string"), lit(".com./z"))
     graft.ops.Urls.domainStats(
       docs(spark, dir).select(id, t.as("url_text")),
       "doc_id", "url_text")

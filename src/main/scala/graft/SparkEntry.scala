@@ -1020,13 +1020,15 @@ object SparkEntry {
         |      ' and http://cdn', CAST(doc_id % 5 AS VARCHAR),
         |      '.net/x?id=', CAST(doc_id AS VARCHAR),
         |      CASE WHEN doc_id % 4 = 0
-        |        THEN ' plus https://Mirror.example-0.com/q' ELSE '' END) AS s
+        |        THEN ' plus https://Mirror.example-0.com/q' ELSE '' END,
+        |      ' ref https://deploy@Www.mirror', CAST(doc_id % 2 AS VARCHAR),
+        |      '.example-', CAST(doc_id % 3 AS VARCHAR), '.com./z') AS s
         |  FROM documents),
         |h AS (SELECT doc_id,
-        |    unnest(regexp_extract_all(s, 'https?://([A-Za-z0-9.-]+)', 1)) AS host
+        |    unnest(regexp_extract_all(s, 'https?://(?:[^/@\s]*@)?([A-Za-z0-9.-]+)', 1)) AS host
         |  FROM t),
         |n AS (SELECT doc_id,
-        |    regexp_replace(lower(host), '^www\.', '') AS host FROM h),
+        |    regexp_replace(regexp_replace(lower(host), '\.$', ''), '^www\.', '') AS host FROM h),
         |a AS (SELECT doc_id,
         |    CASE WHEN regexp_matches(host, '^[0-9.]+$') THEN host
         |      ELSE coalesce(nullif(regexp_extract(host,

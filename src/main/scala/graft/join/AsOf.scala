@@ -67,9 +67,11 @@ object AsOf {
       .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
     val kept = if (inner) matched.filter(col("__m").isNotNull) else matched
+    // structural getField, not string paths: a dot inside a user column
+    // name would make col("__l.a.b") resolve (or fail) as a path
     val outCols: Seq[Column] =
-      left.columns.toSeq.map(c => col(s"__l.$c").as(c)) ++
-        payloadCols.map(c => col(s"__m.$c").as(c))
+      left.columns.toSeq.map(c => col("__l").getField(c).as(c)) ++
+        payloadCols.map(c => col("__m").getField(c).as(c))
     kept.select(outCols: _*)
   }
 }

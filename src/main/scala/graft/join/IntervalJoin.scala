@@ -67,12 +67,17 @@ object IntervalJoin {
     val w = 1L << p
     // parquet event times are TIMESTAMP_NTZ; unix_micros needs TIMESTAMP
     // (the session zone interprets the naive value — UTC in this engine)
+    // integer `div` (IntegralDivide), not floor of a DOUBLE division:
+    // exact at any epoch magnitude, and the SAME bucket map the
+    // IntervalJoinRewrite path publishes — double-floor is only exact
+    // under ~2^52 µs and floors (not truncates) pre-1970 timestamps,
+    // silently forking the two LAST_POW bucket spaces on negative epochs
     val ps = points.withColumn("t", col("t").cast("timestamp"))
-      .withColumn("__b", floor(unix_micros(col("t")) / w))
+      .withColumn("__b", expr(s"unix_micros(t) div ${w}L"))
     // empty/inverted intervals match nothing — drop BEFORE the explode
     // (sequence() on an inverted range would walk it backwards)
-    val b0 = floor(unix_micros(col("start")) / w)
-    val b1 = floor((unix_micros(col("end")) - 1) / w)
+    val b0 = expr(s"unix_micros(start) div ${w}L")
+    val b1 = expr(s"(unix_micros(`end`) - 1) div ${w}L")
     // loud guard for CALLER-PINNED widths: the auto path's max/64 bound
     // caps ~65 buckets per interval, but a pinned fine width against a
     // long interval would demand an unbounded sequence (Spark errors past

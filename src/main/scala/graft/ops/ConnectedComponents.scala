@@ -78,6 +78,10 @@ object ConnectedComponents {
       throw new IllegalStateException(
         s"ConnectedComponents did not converge in $maxRounds rounds — " +
           "the labeling would be plausible-but-wrong clusters; raise maxRounds")
+    // the final labels checkpoint is materialized and self-contained — the
+    // symmetrized edge copy would otherwise sit in block-manager storage
+    // until session end, accumulating across invocations
+    dropCheckpoint(sym)
     labels
   }
 }

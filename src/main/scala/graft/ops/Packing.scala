@@ -54,7 +54,10 @@ object Packing {
             s"packGreedy: negative token count $tok for id $id")
         if (first || shard != curShard) {
           curShard = shard; bin = 0L; fill = 0L; first = false
-        } else if (fill + tok > budget && fill > 0) {
+        } else if (tok > budget - fill && fill > 0) {
+          // subtraction form: after an oversized doc opens a bin, `fill`
+          // may exceed `budget`, and `fill + tok` could wrap Long — the
+          // wrapped sum reads as no-overflow and appends silently
           // overflow closes the bin — unless the bin is empty, in which
           // case the (oversized) doc owns it
           bin += 1L; fill = 0L
