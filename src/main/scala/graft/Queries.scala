@@ -452,6 +452,48 @@ object Queries {
     out
   }
 
+  /** SimHash (64-bit) — the SCALE fingerprint for Hamming joins. The
+    * 31-bit polynomial token hash (q20's kernel) finalized through the
+    * engine's TWO nonlinear multiply–xorshift–multiply mixes (the
+    * HLL/Bloom hash pair, already SQL-mirrored for q60/q68) gives two
+    * independent 32-bit halves. The mix is load-bearing twice over:
+    *  - a RAW polynomial hash of short tokens never reaches the high
+    *    bits (poly31 of a 4-char word < 2²², so bits 22..31 vote −1 on
+    *    EVERY token) — measured on the 200k-doc smoke corpus, the two
+    *    high bands collapsed to ONE key (2·10¹⁰ candidate pairs, a
+    *    full cross product smuggled through "banding");
+    *  - the 31-bit poly keeps every DuckDB product under 2⁶³, so the
+    *    oracle renders the identical mix constant-for-constant.
+    * Why 64 bits and not q20's 32: the pigeonhole band key for k ≤ 3 is
+    * bits/4 wide, and an 8-bit key space (256 values) caps banding at
+    * Θ(n²/256) candidates regardless of corpus — measured at sf0.1,
+    * 99.7% of all pairs survived 4×8 banding. 4×16 bands give a
+    * 65,536-value key space; same pigeonhole proof, same exact refine. */
+  def simhash64(text: String): Long = {
+    val tokens = text.trim.split("\\s+")
+    val acc = new Array[Int](64)
+    tokens.foreach { tok =>
+      var v = 0L
+      var k = 0
+      while (k < tok.length) { v = (v * 31L + tok.charAt(k).toLong) % MH_PRIME; k += 1 }
+      val h1 = graft.functions.HllAgg.mix(v, 2654435761L, 49979693L)
+      val h2 = graft.functions.HllAgg.mix(v, 2246822519L, 57885161L)
+      var b = 0
+      while (b < 32) {
+        acc(b) += (if (((h1 >> b) & 1L) == 1L) 1 else -1)
+        acc(b + 32) += (if (((h2 >> b) & 1L) == 1L) 1 else -1)
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (acc(b) >= 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
   def q20Simhash(spark: SparkSession, dir: String): DataFrame = {
     val sh = udf((text: String) => simhash32(text))
     docs(spark, dir).select(col("doc_id"), sh(col("text")).as("simhash")).orderBy("doc_id")
@@ -909,15 +951,21 @@ object Queries {
   }
 
   /** SimHash Hamming-distance join under the driver gate: all document
-    * pairs within Hamming distance 3 of the 32-bit simhash, via the
-    * PIGEONHOLE banding (4×8 bits — ≤3 differing bits can't touch all 4
+    * pairs within Hamming distance 3 of the 64-BIT simhash, via the
+    * PIGEONHOLE banding (4×16 bits — ≤3 differing bits can't touch all 4
     * bands, so candidates are PROVABLY complete, not LSH-probabilistic);
-    * exact popcount refine. Oracle: brute-force all-pairs
-    * bit_count(xor) ≤ 3 over the same SQL-mirrored simhash. */
+    * exact popcount refine. 64/16 and not the round-5 32/8: 8-bit band
+    * keys cap the key space at 256 values, Θ(n²/256) candidates at ANY
+    * corpus — its own observe metric read 12.46M of 12.5M pairs surviving
+    * banding at sf0.1. Oracle: brute-force all-pairs over the same
+    * SQL-mirrored fingerprint, hamming as the sum of the two 32-bit
+    * halves' popcounts (DuckDB can't build the 64-bit word — BIGINT
+    * `1 << 63` overflows — but XOR-popcount distributes over disjoint
+    * halves, so the halves ARE the exact 64-bit hamming). */
   def q61SimhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = udf((text: String) => simhash32(text))
+    val sh = udf((text: String) => simhash64(text))
     val sims = docs(spark, dir).select(col("doc_id").as("id"), sh(col("text")).as("sim"))
-    graft.join.SimilarityJoin.simhashHammingJoin(sims, k = 3)
+    graft.join.SimilarityJoin.simhashHammingJoin(sims, k = 3, bits = 64, bands = 4)
       .select(col("id_a"), col("id_b"), col("hamming"))
       .orderBy("id_a", "id_b")
   }
@@ -2107,5 +2155,129 @@ object Queries {
       docs(spark, dir).select(id, t.as("url_text")),
       "doc_id", "url_text")
       .orderBy("apex")
+  }
+
+  /** The END-TO-END dedup pipeline under ONE gate (ops/DedupPipeline):
+    * corpus + a planted NOISY TWIN per doc (q74's plant — uppercased,
+    * whitespace-wrapped, digit/punctuation-salted, id offset +100000)
+    * → normalize → exact collapse (each twin MUST fold into its
+    * original's group) → simhash64 over normalized text → banded
+    * Hamming ≤ 3 candidates + exact refine → connected components →
+    * min-id keeper for every input row. Clusters here are CHAINS, not
+    * just pairs — the corpus's own ≤3 graph merges reps transitively
+    * (multiple 2-3-rep clusters at sf0.01, each dragging its exact
+    * twins along, on top of the 454 twin-pair groups) — and the oracle
+    * recomputes the WHOLE
+    * composition independently: the same normalize chain in SQL, group
+    * reps, the mirrored 64-bit fingerprint halves, brute-force
+    * all-pairs hamming, and the recursive-CTE reachability fixpoint
+    * for min-label closure. A bug in ANY stage — a twin failing to
+    * collapse, a candidate miss, a propagation shortcut error —
+    * hash-fails the keeper table. */
+  def q76DedupPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val base = docs(spark, dir).select(id, col("text"))
+    val noisy = base.select(
+      (id + lit(100000L)).as("doc_id"),
+      concat(lit("  "), upper(col("text")), lit(" "),
+        (id * 7 % 1000).cast("string"), lit(", #"),
+        (id % 97).cast("string"), lit("!  ")).as("text"))
+    graft.ops.DedupPipeline.run(
+        base.unionByName(noisy), "doc_id", "text",
+        k = 3, metricName = "q76_band_rows")
+      .orderBy("doc_id")
+  }
+
+  /** The NATURAL Hamming-distance join through the
+    * [[graft.plans.HammingJoinRewrite]] Catalyst rule — the SQL surface
+    * of q61: a user writes `bit_count(sa # sb) <= 3` (which vanilla
+    * Spark can only nested-loop) and the rule rewrites it to the 4×16
+    * pigeonhole banded equi-join with the minimal-band multiplicity
+    * guard, refined by the original popcount. Same fingerprints and
+    * ground truth as q61; same child-session isolation as q43/q64; the
+    * spec asserts the rewritten plan shape (no BNLJ/Cartesian). */
+  def q79NaturalHamming(spark: SparkSession, dir: String): DataFrame = {
+    val s2 = spark.newSession()
+    graft.plans.SpatialPlanner.enable(s2)
+    val sh = udf((text: String) => simhash64(text))
+    val sims = docs(s2, dir).select(col("doc_id").as("id"), sh(col("text")).as("sim"))
+    val a = sims.toDF("id_a", "sa")
+    val b = sims.toDF("id_b", "sb")
+    a.join(b, bit_count(col("sa").bitwiseXOR(col("sb"))) <= 3 &&
+        col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** PSL-BACKED registrable domains under the driver gate
+    * (ops/Urls.apexPsl): planted hosts drive every rule class of the
+    * offline public-suffix fixture — ccSLD grouping (`shop?.brand?.co.uk`
+    * must group as `brand?.co.uk`, NOT `co.uk`; `www.news?.com.au` →
+    * `news?.com.au`), a bare public suffix kept whole (`co.uk`), the
+    * wildcard family (`a?.b.ck` → itself, `b.ck` being a `*.ck` public
+    * suffix), its exception (`x.www.ck` → `www.ck`), plain ccTLDs
+    * (`site?.de`), dotless intranet hosts, and IP literals. The oracle
+    * replays the SAME fixture as a generated longest-rule-first CASE
+    * chain (exceptions > longest match > implicit `*` default), so a
+    * divergence in rule precedence or the suffix algorithm hash-fails. */
+  def q78PslDomains(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val t = concat(col("text"),
+      lit(" see https://shop"), (id % 5).cast("string"),
+      lit(".brand"), (id % 7).cast("string"), lit(".co.uk/x"),
+      lit(" and http://WWW.news"), (id % 3).cast("string"), lit(".com.au/y"),
+      lit(" via https://a"), (id % 2).cast("string"), lit(".b.ck/z"),
+      when(id % 3 === 0, lit(" plus https://co.uk/bare")).otherwise(lit("")),
+      when(id % 4 === 0, lit(" not http://x.www.ck/e")).otherwise(lit("")),
+      when(id % 6 === 0, lit(" int https://intranet/p")).otherwise(lit("")),
+      lit(" ip http://10.0.0."), (id % 9).cast("string"), lit("/q"),
+      lit(" de https://site"), (id % 4).cast("string"), lit(".de/"))
+    graft.ops.Urls.domainStats(
+      docs(spark, dir).select(id, t.as("url_text")),
+      "doc_id", "url_text", graft.ops.Urls.apexPsl(_))
+      .orderBy("apex")
+  }
+
+  /** REDACTION PRECISION under the driver gate: the q73 chain run over
+    * a corpus slice with NO PII but adversarially PII-adjacent clean
+    * text — decimals and version strings (dot-digit runs shorter than a
+    * quad), dash dates and ranges (no '+' anchor), "+5"/"c++" (below
+    * the phone pattern's 4-char minimum), spelled-out addresses (no
+    * '@') — asserting ZERO redactions. The oracle is CLOSED-FORM (all
+    * zeros, `clean` true, by construction of the plants), so a single
+    * false positive anywhere — one overeager character class — fails
+    * the hash gate. This is the precision claim from the operator's
+    * scaladoc as a gate instead of prose. */
+  def q80RedactClean(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val t = concat(col("text"),
+      lit(" pi is 3.14159 and version 1.2.3 beta build 10.20.30"),
+      lit(" range 1-2 at "), (id % 7).cast("string"),
+      lit(" degrees +5 c++ code released 2024-01-"), (id % 28 + 1).cast("string"),
+      lit(" reach us at example dot com"))
+    val df = docs(spark, dir).select(id, t.as("clean_text"))
+    graft.ops.Redact.stats(df, "doc_id", "clean_text")
+      .join(df, "doc_id")
+      .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+        (col("redacted") === col("clean_text")).as("clean"))
+      .orderBy("doc_id")
+  }
+
+  /** REAL BPE merge application under the driver gate (ops/Bpe): the
+    * 200-rule fixture merge table applied in rank order to every word,
+    * yielding true subword token counts (q71 gates only the regex
+    * PRE-split shape). The oracle REPLAYS the identical merge table —
+    * rendered from the same `Bpe.MERGES` constant — via a recursive
+    * CTE over the distinct words (one `replace` per rank step on the
+    * marker representation), so a divergence in rule order, overlap
+    * handling, or the marker encoding hash-fails. n_ws rides along so
+    * the gate also pins the subword/whitespace compression ratio. */
+  def q77BpeTokens(spark: SparkSession, dir: String): DataFrame = {
+    val bpe = udf((t: String) => graft.ops.Bpe.tokenCount(t))
+    docs(spark, dir).select(col("doc_id"),
+        bpe(lower(col("text"))).as("n_bpe"),
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("n_ws"))
+      .orderBy("doc_id")
   }
 }

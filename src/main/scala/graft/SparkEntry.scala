@@ -95,6 +95,11 @@ object SparkEntry {
     "q73_redact" -> (Queries.q73Redact _),
     "q74_norm_dedup" -> (Queries.q74NormDedup _),
     "q75_url_domains" -> (Queries.q75UrlDomains _),
+    "q76_dedup_pipeline" -> (Queries.q76DedupPipeline _),
+    "q77_bpe_tokens" -> (Queries.q77BpeTokens _),
+    "q78_psl_domains" -> (Queries.q78PslDomains _),
+    "q79_natural_hamming" -> (Queries.q79NaturalHamming _),
+    "q80_redact_clean" -> (Queries.q80RedactClean _),
   )
 
   // ---------------- oracle SQL ----------------
@@ -140,10 +145,86 @@ object SparkEntry {
     }.mkString(",\n    ")
   }
 
-  private def simhashBits: String =
+  private def simhashBitsOf(hs: String): String =
     (0 until 32).map { b =>
-      s"((CASE WHEN list_sum(list_transform(hs, h -> ((h >> $b) & 1) * 2 - 1)) >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) << $b)"
+      s"((CASE WHEN list_sum(list_transform($hs, h -> ((h >> $b) & 1) * 2 - 1)) >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) << $b)"
     }.mkString("(", " | ", ")")
+
+  private def simhashBits: String = simhashBitsOf("hs")
+
+  /** 31-bit polynomial token-hash list (q20's kernel) over `src`. */
+  private def tokHashList(src: String): String =
+    s"""list_transform(regexp_split_to_array(trim($src), '\\s+'),
+       |      tk -> CASE WHEN length(tk) = 0 THEN CAST(0 AS BIGINT)
+       |            ELSE CAST(list_reduce([CAST(ord(substr(tk, i, 1)) AS BIGINT) for i in range(1, length(tk) + 1)],
+       |                      (a, b) -> (a * 31 + b) % 2147483647) AS BIGINT) END)""".stripMargin
+
+  /** The HllAgg.mix avalanche over a BIGINT list, staged as chained
+    * list_transforms (each stage references its input once — DuckDB has
+    * no let-binding inside a lambda). Inputs < 2³¹ keep every product
+    * under 2⁶³ (m1 ≤ 2654435761, then values < 2³² times m2 ≤ 57885161). */
+  private def mixList(src: String, m1: Long, m2: Long): String =
+    s"list_transform(list_transform(list_transform(list_transform($src, " +
+      s"x -> (x * $m1) % 4294967296), a -> xor(a, a >> 16)), " +
+      s"a -> (a * $m2) % 4294967296), a -> xor(a, a >> 15))"
+
+  /** The two 32-bit-half token-hash lists of the 64-bit simhash: the
+    * 31-bit poly finalized through the HLL/Bloom mix pair (a RAW poly of
+    * short tokens never reaches the high bits — the high bands would
+    * collapse to one key). */
+  private def simhash64Tok(name: String, m1: Long, m2: Long, src: String = "text"): String =
+    s"${mixList(tokHashList(src), m1, m2)} AS $name"
+
+  /** The PSL fixture replayed as SQL: longest-rule-first CASE chain
+    * (exception rules ahead of same-length wildcards, then plain
+    * multi-label rules by length; single-label plains are behaviorally
+    * the implicit `*` default, which IS the ELSE branch). Rendered from
+    * the same `Urls.PSL_FIXTURE` constant the engine matches against. */
+  private def pslApexWhens: String = {
+    val rules = graft.ops.Urls.PSL_FIXTURE
+    def esc(s: String) = s.replace(".", "\\.")
+    val lbl = "[a-z0-9-]+"
+    val whens: Seq[(Int, String)] =
+      rules.filter(_.startsWith("!")).map(_.drop(1)).map { e =>
+        ((e.count(_ == '.') + 1) * 2 + 1,
+          s"WHEN host = '$e' OR host LIKE '%.$e' THEN '$e'")
+      } ++
+      rules.filter(_.startsWith("*.")).map(_.drop(2)).map { x =>
+        ((x.count(_ == '.') + 2) * 2,
+          s"WHEN host LIKE '%.$x' THEN coalesce(nullif(regexp_extract(host, " +
+            s"'($lbl\\.$lbl\\.${esc(x)})$$', 1), ''), host)")
+      } ++
+      rules.filterNot(r => r.startsWith("!") || r.startsWith("*."))
+        .filter(_.contains(".")).map { s =>
+          ((s.count(_ == '.') + 1) * 2,
+            s"WHEN host = '$s' THEN '$s' WHEN host LIKE '%.$s' " +
+              s"THEN regexp_extract(host, '($lbl\\.${esc(s)})$$', 1)")
+        }
+    whens.sortBy(-_._1).map(_._2).mkString("\n      ")
+  }
+
+  /** The 64-bit fingerprint as two NON-NEGATIVE 32-bit BIGINT halves —
+    * DuckDB can't build the single word (BIGINT `1 << 63` overflows), and
+    * XOR-popcount distributes over disjoint halves, so
+    * popcount(lo⊕lo') + popcount(hi⊕hi') IS the 64-bit hamming. */
+  private def simhash64Halves: String =
+    s"SELECT doc_id, ${simhashBitsOf("hs1")} AS lo, ${simhashBitsOf("hs2")} AS hi FROM tok64"
+
+  /** Brute-force all-pairs hamming ≤ 3 over the mirrored 64-bit simhash
+    * — the shared ground truth of q61 (API path) and q79 (natural SQL
+    * through the HammingJoinRewrite rule). */
+  private def simhash64PairsSql: String =
+    s"""WITH tok64 AS (
+       |  SELECT doc_id,
+       |    ${simhash64Tok("hs1", 2654435761L, 49979693L)},
+       |    ${simhash64Tok("hs2", 2246822519L, 57885161L)}
+       |  FROM documents),
+       |s AS ($simhash64Halves)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS hamming
+       |FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
@@ -774,20 +855,11 @@ object SparkEntry {
         |LEFT JOIN r ON r.reg = gs.register
         |ORDER BY register""".stripMargin.replace("RANK_CASE", "WHEN h2 >= 2147483648 THEN 1 WHEN h2 >= 1073741824 THEN 2 WHEN h2 >= 536870912 THEN 3 WHEN h2 >= 268435456 THEN 4 WHEN h2 >= 134217728 THEN 5 WHEN h2 >= 67108864 THEN 6 WHEN h2 >= 33554432 THEN 7 WHEN h2 >= 16777216 THEN 8 WHEN h2 >= 8388608 THEN 9 WHEN h2 >= 4194304 THEN 10 WHEN h2 >= 2097152 THEN 11 WHEN h2 >= 1048576 THEN 12 WHEN h2 >= 524288 THEN 13 WHEN h2 >= 262144 THEN 14 WHEN h2 >= 131072 THEN 15 WHEN h2 >= 65536 THEN 16 WHEN h2 >= 32768 THEN 17 WHEN h2 >= 16384 THEN 18 WHEN h2 >= 8192 THEN 19 WHEN h2 >= 4096 THEN 20 WHEN h2 >= 2048 THEN 21 WHEN h2 >= 1024 THEN 22 WHEN h2 >= 512 THEN 23 WHEN h2 >= 256 THEN 24 WHEN h2 >= 128 THEN 25 WHEN h2 >= 64 THEN 26 WHEN h2 >= 32 THEN 27 WHEN h2 >= 16 THEN 28 WHEN h2 >= 8 THEN 29 WHEN h2 >= 4 THEN 30 WHEN h2 >= 2 THEN 31 WHEN h2 >= 1 THEN 32"),
 
-    "q61_simhash_pairs" -> // brute-force all-pairs hamming over the mirrored simhash
-      s"""WITH tok AS (
-         |  SELECT doc_id,
-         |    list_transform(regexp_split_to_array(trim(text), '\\s+'),
-         |      tk -> CASE WHEN length(tk) = 0 THEN CAST(0 AS BIGINT)
-         |            ELSE CAST(list_reduce([CAST(ord(substr(tk, i, 1)) AS BIGINT) for i in range(1, length(tk) + 1)],
-         |                      (a, b) -> (a * 31 + b) % 2147483647) AS BIGINT) END) AS hs
-         |  FROM documents),
-         |s AS (SELECT doc_id, $simhashBits AS sim FROM tok)
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  bit_count(xor(a.sim, b.sim)) AS hamming
-         |FROM s a JOIN s b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.sim, b.sim)) <= 3
-         |ORDER BY id_a, id_b""".stripMargin,
+    "q61_simhash_pairs" -> // brute-force all-pairs hamming over the mirrored 64-bit simhash
+      simhash64PairsSql,
+
+    "q79_natural_hamming" -> // same ground truth as q61 — through the REWRITTEN natural SQL plan
+      simhash64PairsSql,
 
     "q62_jaccard_pairs" -> // brute-force all-pairs exact Jaccard (recall misses hash-fail)
       s"""WITH $SHINGLES_CTE,
@@ -1037,5 +1109,96 @@ object SparkEntry {
         |SELECT apex, COUNT(*) AS n_urls, COUNT(DISTINCT doc_id) AS n_docs,
         |  MIN(doc_id) AS keeper
         |FROM a GROUP BY apex ORDER BY apex""".stripMargin,
+
+    "q76_dedup_pipeline" -> // the WHOLE composition, independently: normalize chain in
+      // SQL, exact-group reps, mirrored 64-bit fingerprint halves, brute-force
+      // all-pairs hamming, recursive-CTE min-label reachability fixpoint
+      s"""WITH RECURSIVE u AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT d.doc_id + 100000 AS doc_id,
+         |    concat('  ', upper(d.text), ' ', CAST(d.doc_id * 7 % 1000 AS VARCHAR),
+         |      ', #', CAST(d.doc_id % 97 AS VARCHAR), '!  ') AS text
+         |  FROM documents d),
+         |nrm AS (SELECT doc_id,
+         |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', ' ', 'g'),
+         |      ' +', ' ', 'g')) AS ntext
+         |  FROM u),
+         |reps AS (SELECT ntext, min(doc_id) AS rep FROM nrm GROUP BY ntext),
+         |wr AS (SELECT n.doc_id, r.rep FROM nrm n JOIN reps r ON n.ntext = r.ntext),
+         |tok64 AS (
+         |  SELECT rep AS doc_id,
+         |    ${simhash64Tok("hs1", 2654435761L, 49979693L, "ntext")},
+         |    ${simhash64Tok("hs2", 2246822519L, 57885161L, "ntext")}
+         |  FROM reps),
+         |s AS ($simhash64Halves),
+         |p AS (SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3),
+         |e AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+         |r AS (
+         |  SELECT doc_id AS v, doc_id AS l FROM s
+         |  UNION
+         |  SELECT e.b AS v, r.l FROM r JOIN e ON e.a = r.v
+         |),
+         |comp AS (SELECT v AS rep, min(l) AS component FROM r GROUP BY v)
+         |SELECT wr.doc_id, comp.component AS keeper
+         |FROM wr JOIN comp ON wr.rep = comp.rep
+         |ORDER BY doc_id""".stripMargin,
+
+    "q77_bpe_tokens" -> // REPLAY the identical 200-rule merge table (rendered from
+      // Bpe.MERGES) over the distinct words: one left-to-right non-overlapping
+      // replace per rank step on the '|'-marker representation
+      s"""WITH RECURSIVE m(r, a, b) AS (VALUES ${graft.ops.Bpe.MERGES.zipWithIndex
+             .map { case ((a, b), i) => s"($i, '$a', '$b')" }.mkString(", ")}),
+         |w AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+         |  FROM documents),
+         |dw AS (SELECT DISTINCT word FROM w),
+         |st AS (
+         |  SELECT word, regexp_replace(word, '(.)', '|\\1', 'g') AS s, 0 AS i FROM dw
+         |  UNION ALL
+         |  SELECT st.word, replace(st.s, '|' || m.a || '|' || m.b, '|' || m.a || m.b), st.i + 1
+         |  FROM st JOIN m ON m.r = st.i
+         |),
+         |fin AS (SELECT word, length(s) - length(replace(s, '|', '')) AS ntok
+         |  FROM st WHERE i = ${graft.ops.Bpe.MERGES.size})
+         |SELECT w.doc_id, CAST(sum(fin.ntok) AS BIGINT) AS n_bpe,
+         |  CAST(count(*) AS BIGINT) AS n_ws
+         |FROM w JOIN fin ON w.word = fin.word
+         |GROUP BY w.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q78_psl_domains" -> // same plants; the fixture replayed as a longest-rule-first CASE
+      s"""WITH t AS (SELECT doc_id,
+         |    concat(text,
+         |      ' see https://shop', CAST(doc_id % 5 AS VARCHAR),
+         |      '.brand', CAST(doc_id % 7 AS VARCHAR), '.co.uk/x',
+         |      ' and http://WWW.news', CAST(doc_id % 3 AS VARCHAR), '.com.au/y',
+         |      ' via https://a', CAST(doc_id % 2 AS VARCHAR), '.b.ck/z',
+         |      CASE WHEN doc_id % 3 = 0 THEN ' plus https://co.uk/bare' ELSE '' END,
+         |      CASE WHEN doc_id % 4 = 0 THEN ' not http://x.www.ck/e' ELSE '' END,
+         |      CASE WHEN doc_id % 6 = 0 THEN ' int https://intranet/p' ELSE '' END,
+         |      ' ip http://10.0.0.', CAST(doc_id % 9 AS VARCHAR), '/q',
+         |      ' de https://site', CAST(doc_id % 4 AS VARCHAR), '.de/') AS s
+         |  FROM documents),
+         |h AS (SELECT doc_id,
+         |    unnest(regexp_extract_all(s, 'https?://(?:[^/@\\s]*@)?([A-Za-z0-9.-]+)', 1)) AS host
+         |  FROM t),
+         |n AS (SELECT doc_id,
+         |    regexp_replace(regexp_replace(lower(host), '\\.$$', ''), '^www\\.', '') AS host FROM h),
+         |a AS (SELECT doc_id,
+         |    CASE WHEN regexp_matches(host, '^[0-9.]+$$') THEN host
+         |      $pslApexWhens
+         |      ELSE coalesce(nullif(regexp_extract(host,
+         |        '([a-z0-9-]+\\.[a-z0-9-]+)$$', 1), ''), host) END AS apex
+         |  FROM n)
+         |SELECT apex, COUNT(*) AS n_urls, COUNT(DISTINCT doc_id) AS n_docs,
+         |  MIN(doc_id) AS keeper
+         |FROM a GROUP BY apex ORDER BY apex""".stripMargin,
+
+    "q80_redact_clean" -> // CLOSED-FORM: the plants are clean by construction, so the
+      // ground truth is literal zeros — any engine false positive hash-fails
+      """SELECT doc_id, 0 AS n_emails, 0 AS n_ips, 0 AS n_phones,
+        |  true AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

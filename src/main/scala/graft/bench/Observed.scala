@@ -11,6 +11,19 @@ import org.apache.spark.sql.SparkSession
 object Observed {
   def register(spark: SparkSession): java.util.concurrent.ConcurrentHashMap[String, Long] = {
     val m = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    // AQE's empty-relation propagation REPLACES the subtree holding a
+    // CollectMetricsExec once a downstream stage materializes empty, so
+    // the metric silently vanishes on exactly the runs whose cost signal
+    // matters most (round 7: every zero-contamination decontam sweep run
+    // read -1; ObservedMetricSpec pins the repro). Measurement sessions
+    // trade that one AQE rule away; production sessions keep full AQE.
+    try {
+      val key = "spark.sql.adaptive.optimizer.excludedRules"
+      val rule = "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation"
+      val cur = spark.conf.getOption(key).filter(_.nonEmpty)
+      if (!cur.exists(_.contains(rule)))
+        spark.conf.set(key, (cur.toSeq :+ rule).mkString(","))
+    } catch { case scala.util.control.NonFatal(_) => () }
     spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(funcName: String,
                              qe: org.apache.spark.sql.execution.QueryExecution,

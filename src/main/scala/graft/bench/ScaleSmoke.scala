@@ -127,10 +127,54 @@ object ScaleSmoke {
         (col("id") % 64).as("domain"))
       .cache()
     docsBig.count() // materialize outside the timers
+    val observed = Observed.register(spark)
     val evalBig = docsBig.filter(col("id") % 1000 === 0)
-    val (tDec, nDec) = time(graft.ops.Decontaminate.contaminatedDocs(
-      docsBig.filter(col("id") % 1000 =!= 0), evalBig, "id", "text", n = 3,
-      metricName = "smoke_decontam_cand").count())
+    val corpusBig = docsBig.filter(col("id") % 1000 =!= 0)
+    // n-gram SWEEP n ∈ {3, 8, 13}: the standard contamination audit runs
+    // 8–13-grams, not just 3 — per n, report the eval gram cardinality,
+    // the MEASURED bloom fill ratio with its fill^K FPR bound, the
+    // post-bloom candidate rows (observe metric), and the exact
+    // contaminated count, so the fixed 8 KiB sizing is evidenced across
+    // the gram-cardinality range rather than claimed at one n
+    val hashUdf = udf((s: String) => graft.functions.BloomAgg.hashString(s))
+    val decSweep = Seq(3, 8, 13).map { ng =>
+      val grams = evalBig.select(
+          explode(graft.ops.Decontaminate.wordNgrams(col("text"), ng)).as("g"))
+        .distinct().localCheckpoint(true)
+      val nGrams = grams.count()
+      // mirror the operator's eval-count-driven sizing so the reported
+      // fill/FPR describe the filter contaminatedDocs actually probes
+      val bitsPow = math.max(graft.functions.BloomAgg.BITS_POW, math.min(24,
+        64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, nGrams) * 16 - 1)))
+      val bloomAgg = udaf(new graft.functions.BloomAggregator(bitsPow),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val words = grams.agg(bloomAgg(hashUdf(col("g"))).as("w")).head()
+      val fillRatio = graft.functions.BloomAgg.fill(
+        words.getAs[scala.collection.Seq[Long]]("w").toArray).toDouble /
+        (1L << bitsPow)
+      val fprBound = math.pow(fillRatio, graft.functions.BloomAgg.K)
+      val (tD, nD) = time(graft.ops.Decontaminate.contaminatedDocs(
+        corpusBig, evalBig, "id", "text", n = ng,
+        metricName = s"smoke_decontam_cand_$ng").count())
+      Observed.drain(spark)
+      val cand = observed.getOrDefault(s"smoke_decontam_cand_$ng", -1L)
+      (ng, nGrams, bitsPow, fillRatio, fprBound, tD, nD, cand)
+    }
+    val tDec = decSweep.head._6
+    val nDec = decSweep.head._7
+
+    // exact 64-bit SimHash Hamming join (k ≤ 3, 4×16-bit pigeonhole
+    // bands) over the full synthetic corpus — the q61 scale path. The
+    // candidate count is the honest Θ(n²/2^16) price of the EXACT join
+    // on a near-uniform fingerprint population; the measurement is the
+    // evidence the banded plan (not a nested loop) carries it.
+    val sh64 = udf((text: String) => graft.Queries.simhash64(text))
+    val simsBig = docsBig.select(col("id"), sh64(col("text")).as("sim"))
+    val (tHam, nHam) = time(graft.join.SimilarityJoin.simhashHammingJoin(
+      simsBig, k = 3, bits = 64, bands = 4,
+      metricName = "smoke_ham_band_rows").count())
+    Observed.drain(spark)
+    val hamBand = observed.getOrDefault("smoke_ham_band_rows", -1L)
     // top-k per domain: the bounded-state Aggregator vs the window
     // row_number form. Spark 3.5+'s WindowGroupLimit already bounds the
     // window's shuffle map-side for the rank-filter pattern, so the
@@ -200,6 +244,41 @@ object ScaleSmoke {
       .select((col("id") * 2654435761L % 100000000L - 50000000L).as("v"))
     val (tQuant, _) = time(graft.ops.Quantiles.exactQuantiles(
       quantIn, "v", Seq((1L, 100L), (1L, 2L), (99L, 100L)), fanout = 4096).count())
+
+    // ---- connected components at ~n edges: a planted 10k-hop CHAIN
+    // (real multi-hop propagation — pointer doubling must close it in
+    // ~log₂(10k) rounds, not 10k jobs) + Zipf-sized star clusters
+    // (k = ⌊2³²/u⌋ capped at 10⁶ ⇒ P(cluster k) ~ 1/k², with a giant
+    // hot cluster carrying ~half the vertices — skewed label traffic).
+    // Reports rounds, per-round wall, and PEAK block-manager storage
+    // DELTA over the run: the per-round dropCheckpoint hygiene as a
+    // measured number instead of a code comment.
+    val chainLen = 10000L
+    val ccEdges = spark.range(chainLen - 1)
+      .select(col("id").as("src"), (col("id") + 1).as("dst"))
+      .unionByName(spark.range(chainLen, n)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("id").as("src"),
+          (lit(chainLen) + least(
+            floor(lit(4294967296.0) /
+              (graft.ops.Sampling.mix32(col("id")) + lit(1L))).cast("long"),
+            lit(1000000L))).as("dst")))
+    def storageBytes: Long = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
+    val ccBase = storageBytes
+    val ccRoundSecs = scala.collection.mutable.ArrayBuffer[Double]()
+    var ccPeak = 0L
+    val ccT0 = System.nanoTime()
+    val ccLabels = graft.ops.ConnectedComponents.run(
+      spark.range(n).toDF("id"), ccEdges, 30,
+      (_, s, _) => { ccRoundSecs += s; ccPeak = math.max(ccPeak, storageBytes - ccBase) })
+    // correctness probe, not just a timer: the whole 10k-hop chain must
+    // have collapsed to min-id 0 — an unconverged or one-directional
+    // propagation fails loudly here
+    val chainMax = ccLabels.filter(col("id") < chainLen)
+      .agg(max("component")).head().getLong(0)
+    val tCc = (System.nanoTime() - ccT0) / 1e9
+    require(chainMax == 0L,
+      s"10k-hop chain failed to collapse to component 0: max=$chainMax")
 
     // ---- bucketed-layout payoff: the SAME cell join replayed 3x against
     // plain parquet (shuffles both sides every replay) vs cell-bucketed
@@ -331,6 +410,13 @@ object ScaleSmoke {
         s""""asof_join_1.4m_updates":{"sec":$tAsof,"rows":$nAsof,"points_per_sec":${rps(tAsof)}},""" +
         s""""interval_join_10k_intervals":{"sec":$tIv,"pairs":$nIv,"points_per_sec":${rps(tIv)},"auto_width_pow":$ivPow},""" +
         s""""decontam_${docN}_docs":{"sec":$tDec,"contaminated":$nDec,"docs_per_sec":${(docN / math.max(tDec, 1e-9)).toLong}},""" +
+        s""""decontam_ngram_sweep":[""" + decSweep.map { case (ng, g, bp, fill, fpr, tD, nD, cand) =>
+          f"""{"n":$ng,"eval_grams":$g,"bloom_bits_pow":$bp,"bloom_fill":$fill%.4f,"fpr_bound":$fpr%.2e,"sec":$tD%.2f,"contaminated":$nD,"cand_rows":$cand}"""
+        }.mkString(",") + "]," +
+        s""""simhash_hamming_join_${docN}_docs":{"sec":$tHam,"pairs":$nHam,"band_candidates":$hamBand,"docs_per_sec":${(docN / math.max(tHam, 1e-9)).toLong}},""" +
+        s""""connected_components_${n}_edges":{"sec":$tCc,"rounds":${ccRoundSecs.size},""" +
+        s""""round_secs":[${ccRoundSecs.map(s => f"$s%.2f").mkString(",")}],""" +
+        s""""peak_storage_delta_mb":${ccPeak / 1048576},"chain_collapsed":true},""" +
         s""""topk_per_domain_${docN}_docs":{"agg_sec":$tTopk,"window_sec":$tTopkWin,"rows":$nTopk,""" +
         s""""agg_shuffle_rows":$topkShuf,"window_shuffle_rows":$winShuf},""" +
         s""""redact_${docN}_docs":{"sec":$tRedact,"chars_out":$redactChars,"docs_per_sec":${(docN / math.max(tRedact, 1e-9)).toLong}},""" +

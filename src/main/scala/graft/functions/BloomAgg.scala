@@ -38,24 +38,33 @@ object BloomAgg {
   def h1(v: Long): Long = HllAgg.mix(v, 2654435761L, 49979693L)
   def h2(v: Long): Long = HllAgg.mix(v, 2246822519L, 57885161L)
 
-  /** Bit index of probe i ∈ [0, K). Nonnegative for any v (the mixes
-    * mask to 32 bits before this sum). */
-  def bitIndex(v: Long, i: Int): Int =
-    (((h1(v) + i.toLong * h2(v)) & 0xFFFFFFFFL) % BITS).toInt
+  /** Bit index of probe i ∈ [0, K) in a `bits`-bit filter. Nonnegative
+    * for any v (the mixes mask to 32 bits before this sum). */
+  def bitIndex(v: Long, i: Int, bits: Long = BITS): Int =
+    (((h1(v) + i.toLong * h2(v)) & 0xFFFFFFFFL) % bits).toInt
 
+  /** The filter width is CARRIED BY THE BUFFER (words.length × 32 bits),
+    * so add/probe work for any sized filter — the SQL-mirrored q68 gate
+    * keeps the 2048-word default, while decontamination sizes its
+    * broadcast filter to the eval-gram count (a 56k-gram eval set fills
+    * a fixed 8 KiB filter to 97%, FPR bound 0.87 — measured in the
+    * round-7 n-gram sweep — which silently degrades the probe step to
+    * a near-full corpus explode). */
   def add(words: Array[Long], v: Long): Unit = {
+    val bits = words.length.toLong << 5
     var i = 0
     while (i < K) {
-      val idx = bitIndex(v, i)
+      val idx = bitIndex(v, i, bits)
       words(idx >> 5) |= (1L << (idx & 31))
       i += 1
     }
   }
 
   def mayContain(words: Array[Long], v: Long): Boolean = {
+    val bits = words.length.toLong << 5
     var i = 0
     while (i < K) {
-      val idx = bitIndex(v, i)
+      val idx = bitIndex(v, i, bits)
       if (((words(idx >> 5) >> (idx & 31)) & 1L) == 0L) return false
       i += 1
     }
@@ -75,9 +84,13 @@ object BloomAgg {
   }
 }
 
-/** The Aggregator: buffer = the 2048-word bitset; merge = element-wise OR. */
-final class BloomAggregator extends Aggregator[Long, Array[Long], Array[Long]] {
-  override def zero: Array[Long] = new Array[Long](BloomAgg.WORDS)
+/** The Aggregator: buffer = the bitset (2048 32-bit words by default —
+  * the SQL-mirrored gate shape); `bitsPow` sizes it for callers whose
+  * member count is known (decontamination). Merge = element-wise OR. */
+final class BloomAggregator(bitsPow: Int = BloomAgg.BITS_POW)
+    extends Aggregator[Long, Array[Long], Array[Long]] {
+  require(bitsPow >= 5 && bitsPow <= 30, s"bitsPow out of range: $bitsPow")
+  override def zero: Array[Long] = new Array[Long](1 << (bitsPow - 5))
   override def reduce(b: Array[Long], v: Long): Array[Long] = {
     BloomAgg.add(b, v); b
   }

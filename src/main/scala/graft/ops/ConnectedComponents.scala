@@ -40,7 +40,15 @@ object ConnectedComponents {
     * ids must be members of `vertices`. Returns (id, component) with
     * component = min id reachable from the vertex (its own id for
     * singletons). */
-  def run(vertices: DataFrame, edges: DataFrame, maxRounds: Int = 30): DataFrame = {
+  def run(vertices: DataFrame, edges: DataFrame, maxRounds: Int = 30): DataFrame =
+    run(vertices, edges, maxRounds, (_, _, _) => ())
+
+  /** As [[run]], with a per-round observer `(round, seconds, changed)` —
+    * the measurement hook ScaleSmoke uses to report rounds taken and
+    * per-round wall time at 10M+ edges (no behavior change; the default
+    * overload passes a no-op). */
+  def run(vertices: DataFrame, edges: DataFrame, maxRounds: Int,
+          onRound: (Int, Double, Long) => Unit): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true) // reread every round; never recompute the pair join
@@ -50,6 +58,7 @@ object ConnectedComponents {
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
+      val roundT0 = System.nanoTime()
       // min neighbor label per vertex
       val nbrMin = sym.join(labels, sym("src") === labels("id"))
         .groupBy(col("dst").as("nid")).agg(min("component").as("nmin"))
@@ -73,6 +82,7 @@ object ConnectedComponents {
       labels = doubled.select(col("id"), col("newComp").as("component"))
       converged = changed == 0
       round += 1
+      onRound(round, (System.nanoTime() - roundT0) / 1e9, changed)
     }
     if (!converged)
       throw new IllegalStateException(

@@ -49,8 +49,16 @@ object Decontaminate {
     * and the streaming ingest twin, so both drive the SAME probe path. */
   def candidateGramFilter(evalGrams: DataFrame)
   : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    // SIZE the filter to the eval set: bits ≈ 16× members (fill ≈ 0.22,
+    // FPR bound ≈ 2e-3 at K = 4), floored at the 8 KiB gate default and
+    // capped at 2 MiB of broadcast. The round-7 sweep measured why: a
+    // 56k-gram eval set fills the fixed 2^16 filter to 97% (FPR bound
+    // 0.87), silently exploding ~25 candidate rows per clean doc.
+    val nGrams = evalGrams.count()
+    val bitsPow = math.max(BloomAgg.BITS_POW, math.min(24,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, nGrams) * 16 - 1)))
     val hashUdf = udf((s: String) => BloomAgg.hashString(s))
-    val bloomAgg = udaf(new BloomAggregator,
+    val bloomAgg = udaf(new BloomAggregator(bitsPow),
       org.apache.spark.sql.Encoders.scalaLong)
     val words = evalGrams.agg(bloomAgg(hashUdf(col("g"))).as("w"))
       .head().getAs[scala.collection.Seq[Long]]("w").toArray

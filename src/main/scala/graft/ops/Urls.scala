@@ -48,10 +48,80 @@ object Urls {
         nullif(regexp_extract(h, "([a-z0-9-]+\\.[a-z0-9-]+)$", 1), lit("")),
         h)) // dotless host (localhost, intranet): keep whole host
 
-  /** Per-apex-domain URL count, distinct-doc count, and min-id keeper. */
-  def domainStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  /** OFFLINE public-suffix fixture (a deterministic ~100-rule subset of
+    * the publicsuffix.org list: ccSLD families incl. co.uk/com.au, one
+    * wildcard family and its exception, common gTLDs/ccTLDs). The seam a
+    * production deployment loads the full PSL into — same rule grammar:
+    * plain suffix, `*.X` (any one label under X is a public suffix),
+    * `!Y` (Y is registrable despite a covering wildcard). */
+  val PSL_FIXTURE: Seq[String] = Seq(
+    "com", "org", "net", "edu", "gov", "mil", "int", "io", "ai", "dev", "app", "co",
+    "uk", "co.uk", "org.uk", "ac.uk", "gov.uk", "ltd.uk", "plc.uk", "me.uk",
+    "net.uk", "sch.uk", "nhs.uk", "police.uk",
+    "au", "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "jp", "co.jp", "or.jp", "ne.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp", "gr.jp", "lg.jp",
+    "nz", "co.nz", "net.nz", "org.nz", "ac.nz", "govt.nz", "school.nz",
+    "za", "co.za", "net.za", "org.za", "web.za", "gov.za", "ac.za",
+    "br", "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    "in", "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in",
+    "ac.in", "edu.in", "res.in", "gov.in",
+    "cn", "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "kr", "co.kr", "ne.kr", "or.kr", "re.kr", "go.kr", "ac.kr",
+    "mx", "com.mx", "net.mx", "org.mx", "gob.mx", "edu.mx",
+    "ar", "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar",
+    "tr", "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr",
+    "il", "co.il", "net.il", "org.il", "ac.il", "gov.il", "muni.il",
+    "de", "fr", "nl", "it", "es", "se", "no", "fi", "dk", "pl", "ch", "at",
+    "be", "cz", "pt", "gr", "hu", "ro", "us", "ca",
+    "ck", "*.ck", "!www.ck")
+
+  /** PSL-backed registrable domain (publicsuffix.org algorithm over the
+    * rule set): an exception rule prevails outright; otherwise the
+    * LONGEST matching rule (plain suffix match, or `*.X` matching one
+    * extra label under X); otherwise the implicit default rule `*`
+    * (rightmost label) — which is exactly [[apex]]'s two-label rule, so
+    * the fixture only CORRECTS the hosts the approximation mis-groups
+    * (`shop.foo.co.uk` → `foo.co.uk`, not `co.uk`). Hosts that ARE a
+    * public suffix (or shorter) keep the whole host, like [[apex]].
+    *
+    * Scale shape: the rule set rides the UDF closure to executors once
+    * (the full ~9k-rule PSL would ride a broadcast the same way); each
+    * host pays O(labels) set probes — row-local, zero shuffle. */
+  def apexPsl(h: Column, rules: Seq[String] = PSL_FIXTURE): Column = {
+    val exc = rules.filter(_.startsWith("!")).map(_.drop(1)).toSet
+    val wild = rules.filter(_.startsWith("*.")).map(_.drop(2)).toSet
+    val plain = rules.filterNot(r => r.startsWith("!") || r.startsWith("*.")).toSet
+    val f = udf { (host: String) =>
+      if (host == null) null
+      else if (host.matches("[0-9.]+")) host
+      else {
+        val labels = host.split('.')
+        var ps = 1 // the implicit default rule "*"
+        var excPs = -1
+        var i = 1
+        while (i <= labels.length && excPs < 0) {
+          val suffix = labels.takeRight(i).mkString(".")
+          if (exc.contains(suffix)) excPs = i - 1 // exception: ps is the rule minus its leftmost label
+          else {
+            if (plain.contains(suffix) && i > ps) ps = i
+            if (i >= 2 && wild.contains(labels.takeRight(i - 1).mkString(".")) && i > ps) ps = i
+          }
+          i += 1
+        }
+        val eff = if (excPs >= 0) excPs else ps
+        if (labels.length <= eff) host else labels.takeRight(eff + 1).mkString(".")
+      }
+    }
+    f(h)
+  }
+
+  /** Per-apex-domain URL count, distinct-doc count, and min-id keeper;
+    * `apexOf` picks the registrable-domain rule ([[apex]] two-label
+    * default, [[apexPsl]] for the PSL-backed form). */
+  def domainStats(df: DataFrame, idCol: String, textCol: String,
+                  apexOf: Column => Column = apex): DataFrame =
     df.select(col(idCol), explode(hosts(col(textCol))).as("host"))
-      .select(col(idCol), apex(normalizeHost(col("host"))).as("apex"))
+      .select(col(idCol), apexOf(normalizeHost(col("host"))).as("apex"))
       .groupBy("apex")
       .agg(count(lit(1)).as("n_urls"),
         countDistinct(idCol).as("n_docs"),

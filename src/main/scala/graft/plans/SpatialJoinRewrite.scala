@@ -299,11 +299,13 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 /** Runtime entry points for live sessions; new sessions should prefer
   * `spark.sql.extensions=graft.plans.GraftExtensions`. */
 object SpatialPlanner {
-  /** Opt the session into the spatial AND temporal join rewrites. */
+  /** Opt the session into the spatial, temporal AND similarity join
+    * rewrites. */
   def enable(spark: SparkSession): Unit = {
     var cur = spark.experimental.extraOptimizations
     if (!cur.contains(SpatialJoinRewrite)) cur = cur :+ SpatialJoinRewrite
     if (!cur.contains(IntervalJoinRewrite)) cur = cur :+ IntervalJoinRewrite
+    if (!cur.contains(HammingJoinRewrite)) cur = cur :+ HammingJoinRewrite
     spark.experimental.extraOptimizations = cur
   }
 

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape + semantics specs for [[graft.plans.HammingJoinRewrite]]:
+  * the natural `bit_count(a # b) <= k` join must plan as the banded
+  * hash join (no BroadcastNestedLoopJoin / CartesianProduct), produce
+  * exactly the brute-force pair set with exact multiplicity (the
+  * minimal-band guard, not a Distinct), and leave non-matching joins
+  * untouched. Gated end-to-end as q79 against the DuckDB oracle. */
+class HammingRewriteSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s
+  }
+
+  private def session(): SparkSession = {
+    val s2 = spark.newSession()
+    graft.plans.SpatialPlanner.enable(s2)
+    s2
+  }
+
+  /** Deterministic well-spread fingerprints (the splitmix-style mix). */
+  private def fp(i: Long): Long = {
+    var z = i + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private def bruteForce(sims: Seq[(Long, Long)], k: Int): Set[(Long, Long)] =
+    (for {
+      (ia, sa) <- sims; (ib, sb) <- sims
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= k
+    } yield (ia, ib)).toSet
+
+  private def mkSims(s2: SparkSession, n: Int): Seq[(Long, Long)] = {
+    // base fingerprints plus planted near-dups at controlled distances
+    val base = (0L until n.toLong).map(i => (i, fp(i)))
+    val planted = (0L until n.toLong by 7).map { i =>
+      (1000L + i, fp(i) ^ (1L << (i % 64).toInt) ^
+        (if (i % 3 == 0) 1L << ((i * 31) % 64).toInt else 0L))
+    }
+    base ++ planted
+  }
+
+  test("natural bit_count join rewrites away from nested-loop and matches brute force") {
+    val s2 = session()
+    import s2.implicits._
+    val sims = mkSims(s2, 60)
+    val df = sims.toDF("id", "sim")
+    val a = df.toDF("id_a", "sa")
+    val b = df.toDF("id_b", "sb")
+    val joined = a.join(b,
+      bit_count($"sa".bitwiseXOR($"sb")) <= 3 && $"id_a" < $"id_b")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"natural hamming join still plans as a nested loop:\n$plan")
+    val got = joined.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSet === bruteForce(sims, 3))
+    // exact multiplicity: no pair may appear twice (minimal-band guard)
+    assert(got.length === got.toSet.size, "duplicate pairs — multiplicity guard failed")
+  }
+
+  test("strict-inequality and reversed forms rewrite too; k=1 uses 2 bands") {
+    val s2 = session()
+    import s2.implicits._
+    val sims = mkSims(s2, 40)
+    val df = sims.toDF("id", "sim")
+    val a = df.toDF("id_a", "sa")
+    val b = df.toDF("id_b", "sb")
+    for ((cond, k) <- Seq(
+        (bit_count($"sa".bitwiseXOR($"sb")) < 2, 1),
+        (lit(1) >= bit_count($"sa".bitwiseXOR($"sb")), 1))) {
+      val j = a.join(b, cond && $"id_a" < $"id_b")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"form $cond not rewritten:\n$plan")
+      assert(j.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet === bruteForce(sims, k))
+    }
+  }
+
+  test("input multiplicity is preserved (duplicate rows join as Inner semantics demand)") {
+    val s2 = session()
+    import s2.implicits._
+    // two identical left rows must each pair with the matching right row
+    val l = Seq((1L, 5L), (1L, 5L)).toDF("id_a", "sa")
+    val r = Seq((2L, 7L)).toDF("id_b", "sb") // hamming(5,7) = 1
+    val j = l.join(r, bit_count($"sa".bitwiseXOR($"sb")) <= 3)
+    assert(j.count() === 2L)
+    assert(!j.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("joins with an existing equi-key or non-long fingerprints are left alone") {
+    val s2 = session()
+    import s2.implicits._
+    val l = Seq((1L, 5L, 1L)).toDF("id_a", "sa", "ka")
+    val r = Seq((2L, 7L, 1L)).toDF("id_b", "sb", "kb")
+    // equi-key present: the hash join on ka=kb is already the right plan
+    val j1 = l.join(r, $"ka" === $"kb" && bit_count($"sa".bitwiseXOR($"sb")) <= 3)
+    assert(!j1.queryExecution.optimizedPlan.toString.contains("__graft_hb"))
+    assert(j1.count() === 1L)
+    // int fingerprints: out of contract (64-bit standard), no rewrite
+    val li = Seq((1L, 5)).toDF("id_a", "sa")
+    val ri = Seq((2L, 7)).toDF("id_b", "sb")
+    val j2 = li.join(ri, bit_count($"sa".bitwiseXOR($"sb")) <= 3)
+    assert(!j2.queryExecution.optimizedPlan.toString.contains("__graft_hb"))
+    assert(j2.count() === 1L)
+  }
+}
