@@ -2280,4 +2280,21 @@ object Queries {
         size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("n_ws"))
       .orderBy("doc_id")
   }
+
+  /** PACKING ON REAL TOKEN COUNTS under the driver gate — q65's greedy
+    * context-window fill re-gated on q77's BPE subword counts instead of
+    * a character-derived stand-in (the composition a pretraining
+    * pipeline actually runs: tokenize → pack to the model's window).
+    * The oracle composes TWO recursive CTEs — the merge-table replay,
+    * then the per-shard greedy walk — so a divergence in either the
+    * tokenizer or the packer hash-fails. */
+  def q81PackBpe(spark: SparkSession, dir: String): DataFrame = {
+    val bpe = udf((t: String) => graft.ops.Bpe.tokenCount(t))
+    val base = docs(spark, dir).select(
+      col("doc_id"),
+      (col("doc_id") % 8).as("shard"),
+      bpe(lower(col("text"))).as("tok"))
+    graft.ops.Packing.packGreedy(base, "doc_id", "shard", "tok", budget = 512L)
+      .orderBy("doc_id")
+  }
 }

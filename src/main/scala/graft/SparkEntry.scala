@@ -100,6 +100,7 @@ object SparkEntry {
     "q78_psl_domains" -> (Queries.q78PslDomains _),
     "q79_natural_hamming" -> (Queries.q79NaturalHamming _),
     "q80_redact_clean" -> (Queries.q80RedactClean _),
+    "q81_pack_bpe" -> (Queries.q81PackBpe _),
   )
 
   // ---------------- oracle SQL ----------------
@@ -174,6 +175,24 @@ object SparkEntry {
     * collapse to one key). */
   private def simhash64Tok(name: String, m1: Long, m2: Long, src: String = "text"): String =
     s"${mixList(tokHashList(src), m1, m2)} AS $name"
+
+  /** The BPE merge replay as composable CTEs (q77, q81): the merge table
+    * rendered from `Bpe.MERGES`, words unnested, distinct words walked
+    * one rank step per recursion on the '|'-marker encoding. */
+  private def bpeTokCtes: String =
+    s"""m(r, a, b) AS (VALUES ${graft.ops.Bpe.MERGES.zipWithIndex
+           .map { case ((a, b), i) => s"($i, '$a', '$b')" }.mkString(", ")}),
+       |w AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+       |  FROM documents),
+       |dw AS (SELECT DISTINCT word FROM w),
+       |st AS (
+       |  SELECT word, regexp_replace(word, '(.)', '|\\1', 'g') AS s, 0 AS i FROM dw
+       |  UNION ALL
+       |  SELECT st.word, replace(st.s, '|' || m.a || '|' || m.b, '|' || m.a || m.b), st.i + 1
+       |  FROM st JOIN m ON m.r = st.i
+       |),
+       |fin AS (SELECT word, length(s) - length(replace(s, '|', '')) AS ntok
+       |  FROM st WHERE i = ${graft.ops.Bpe.MERGES.size})""".stripMargin
 
   /** The PSL fixture replayed as SQL: longest-rule-first CASE chain
     * (exception rules ahead of same-length wildcards, then plain
@@ -1149,23 +1168,33 @@ object SparkEntry {
     "q77_bpe_tokens" -> // REPLAY the identical 200-rule merge table (rendered from
       // Bpe.MERGES) over the distinct words: one left-to-right non-overlapping
       // replace per rank step on the '|'-marker representation
-      s"""WITH RECURSIVE m(r, a, b) AS (VALUES ${graft.ops.Bpe.MERGES.zipWithIndex
-             .map { case ((a, b), i) => s"($i, '$a', '$b')" }.mkString(", ")}),
-         |w AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
-         |  FROM documents),
-         |dw AS (SELECT DISTINCT word FROM w),
-         |st AS (
-         |  SELECT word, regexp_replace(word, '(.)', '|\\1', 'g') AS s, 0 AS i FROM dw
-         |  UNION ALL
-         |  SELECT st.word, replace(st.s, '|' || m.a || '|' || m.b, '|' || m.a || m.b), st.i + 1
-         |  FROM st JOIN m ON m.r = st.i
-         |),
-         |fin AS (SELECT word, length(s) - length(replace(s, '|', '')) AS ntok
-         |  FROM st WHERE i = ${graft.ops.Bpe.MERGES.size})
+      s"""WITH RECURSIVE $bpeTokCtes
          |SELECT w.doc_id, CAST(sum(fin.ntok) AS BIGINT) AS n_bpe,
          |  CAST(count(*) AS BIGINT) AS n_ws
          |FROM w JOIN fin ON w.word = fin.word
          |GROUP BY w.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q81_pack_bpe" -> // the q65 packing fixpoint walked over the q77 BPE token
+      // counts: two recursive CTEs composed — merge-table replay, then the
+      // per-shard greedy walk — so a divergence in EITHER stage hash-fails
+      s"""WITH RECURSIVE $bpeTokCtes,
+         |d AS (SELECT w.doc_id, CAST(sum(fin.ntok) AS BIGINT) AS tok
+         |  FROM w JOIN fin ON w.word = fin.word GROUP BY w.doc_id),
+         |base AS (SELECT doc_id, doc_id % 8 AS shard, tok FROM d),
+         |o AS (SELECT doc_id, shard, tok,
+         |    row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+         |  FROM base),
+         |walk AS (
+         |  SELECT shard, rn, doc_id, tok, CAST(0 AS BIGINT) AS bin,
+         |      CAST(0 AS BIGINT) AS bin_offset, tok AS fill
+         |    FROM o WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.shard, o.rn, o.doc_id, o.tok,
+         |      CASE WHEN w.fill + o.tok > 512 THEN w.bin + 1 ELSE w.bin END,
+         |      CASE WHEN w.fill + o.tok > 512 THEN CAST(0 AS BIGINT) ELSE w.fill END,
+         |      CASE WHEN w.fill + o.tok > 512 THEN o.tok ELSE w.fill + o.tok END
+         |    FROM walk w JOIN o ON o.shard = w.shard AND o.rn = w.rn + 1)
+         |SELECT doc_id, shard, bin, bin_offset FROM walk ORDER BY doc_id""".stripMargin,
 
     "q78_psl_domains" -> // same plants; the fixture replayed as a longest-rule-first CASE
       s"""WITH t AS (SELECT doc_id,
