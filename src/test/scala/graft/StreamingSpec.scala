@@ -354,6 +354,71 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.size == 72)
   }
 
+  test("streaming simhash64 near-dup ingest vs a static corpus matches brute force") {
+    // the incremental TEXT-dedup ingest shape (q61/q76's streaming face):
+    // new documents ARRIVE as a stream, fingerprint row-locally, and check
+    // against the existing corpus via the SAME 4×16-bit pigeonhole bands —
+    // a stream-static equi-join on (band, bkey), never all-pairs, with the
+    // exact popcount refine; candidates are provably complete per band
+    val dir = "/root/testdata/sf0.001"
+    val sh = udf((t: String) => Queries.simhash64(t))
+    def banded(df: org.apache.spark.sql.DataFrame) =
+      (0 until 4).map { b =>
+        df.select(col("doc_id"), col("sim"), lit(b).as("band"),
+          shiftright(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bkey"))
+      }.reduce(_ unionByName _)
+    val corpusDocs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), sh(col("text")).as("sim"))
+    val corpus = banded(corpusDocs)
+      .select(col("doc_id").as("corpus_id"), col("sim").as("csim"),
+        col("band"), col("bkey"))
+
+    // arrivals: every 11th doc re-ingested verbatim under a new id
+    // (hamming 0 to its source; may also sit ≤3 from other corpus docs —
+    // ground truth below is brute force, not an assumption about plants)
+    val arrivalsDf = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+    val streamDir = java.nio.file.Files.createTempDirectory("sim_stream")
+    arrivalsDf.filter(col("doc_id") % 2 === 0).write.mode("overwrite")
+      .parquet(streamDir.resolve("b0").toString)
+    arrivalsDf.filter(col("doc_id") % 2 === 1).write.mode("overwrite")
+      .parquet(streamDir.resolve("b1").toString)
+    val arrivals = spark.readStream.schema(arrivalsDf.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(streamDir.toString)
+      .select(col("doc_id"), sh(col("text")).as("sim"))
+
+    val joined = banded(arrivals)
+      .join(corpus, Seq("band", "bkey"))
+      .withColumn("hamming", bit_count(col("sim").bitwiseXOR(col("csim"))))
+      .filter(col("hamming") <= 3)
+      .select(col("doc_id").as("new_id"), col("corpus_id"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("sim_neardup").start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    // multi-band collisions duplicate in append mode — distinct at the
+    // consumer, like any idempotent sink key
+    val streamed = spark.table("sim_neardup")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct.sorted.toSeq
+
+    // ground truth: brute-force popcount over the driver-side fingerprints
+    val corpusFp = corpusDocs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val arriveFp = arrivalsDf.collect().map(r => (r.getLong(0), r.getString(1)))
+      .map { case (id, t) => (id, Queries.simhash64(t)) }
+    val expected = (for {
+      (aid, asim) <- arriveFp; (cid, csim) <- corpusFp
+      if java.lang.Long.bitCount(asim ^ csim) <= 3
+    } yield (aid, cid)).sorted.toSeq
+    assert(streamed == expected)
+    // every arrival is a verbatim copy, so its source pair must be present
+    assert(arriveFp.map(_._1 - 200000L).forall(src =>
+      expected.contains((src + 200000L, src))))
+  }
+
   test("streaming decontamination vs a static eval bloom matches batch q69") {
     // the incremental-ingest decontamination shape: documents ARRIVE as a
     // stream; each micro-batch probes the SAME broadcast eval Bloom
