@@ -2239,6 +2239,32 @@ object Queries {
       .orderBy("apex")
   }
 
+  /** QUALITY-FLOOR FILTERING under the driver gate — the curation step
+    * that drops the bottom decile by quality score, composing q15's
+    * integer scoring with q67's EXACT distributed quantile (histogram
+    * bisection, no global sort): score = alpha-ratio in integer
+    * ten-thousandths (both engines integer-divide), threshold = the
+    * exact P10 value (rank ⌈n/10⌉), output = every doc with its score
+    * and the kept flag (ties at the threshold kept, both sides). The
+    * threshold is ONE bounded driver row (the quantile operator's
+    * documented contract); the oracle recomputes it definitionally via
+    * row_number over the full sort. */
+  def q82QualityFloor(spark: SparkSession, dir: String): DataFrame = {
+    // checkpointed: the quantile operator runs one bounded job per
+    // bisection level over its input — don't re-run the regex scan per level
+    val scored = docs(spark, dir).select(col("doc_id"), col("text"))
+      .withColumn("score", expr(
+        "length(regexp_replace(text, '[^A-Za-z]', '')) * 10000L" +
+          " div greatest(length(text), 1)"))
+      .select(col("doc_id"), col("score"))
+      .localCheckpoint(true)
+    val thr = graft.ops.Quantiles.exactQuantiles(scored, "score", Seq((1L, 10L)))
+      .head().getLong(3)
+    scored.select(col("doc_id"), col("score"),
+        (col("score") >= thr).as("kept"))
+      .orderBy("doc_id")
+  }
+
   /** REDACTION PRECISION under the driver gate: the q73 chain run over
     * a corpus slice with NO PII but adversarially PII-adjacent clean
     * text — decimals and version strings (dot-digit runs shorter than a

@@ -101,6 +101,7 @@ object SparkEntry {
     "q79_natural_hamming" -> (Queries.q79NaturalHamming _),
     "q80_redact_clean" -> (Queries.q80RedactClean _),
     "q81_pack_bpe" -> (Queries.q81PackBpe _),
+    "q82_quality_floor" -> (Queries.q82QualityFloor _),
   )
 
   // ---------------- oracle SQL ----------------
@@ -1229,5 +1230,17 @@ object SparkEntry {
       """SELECT doc_id, 0 AS n_emails, 0 AS n_ips, 0 AS n_phones,
         |  true AS clean
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q82_quality_floor" -> // threshold recomputed DEFINITIONALLY: full sort,
+      // row_number, the value at rank ceil(n/10); integer-division score
+      """WITH s AS (SELECT doc_id,
+        |    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 10000
+        |      // greatest(length(text), 1) AS score
+        |  FROM documents),
+        |r AS (SELECT score, row_number() OVER (ORDER BY score) AS rn FROM s),
+        |t AS (SELECT score AS thr FROM r
+        |  WHERE rn = (SELECT (count(*) + 9) // 10 FROM s))
+        |SELECT doc_id, score, score >= (SELECT thr FROM t) AS kept
+        |FROM s ORDER BY doc_id""".stripMargin,
   )
 }
