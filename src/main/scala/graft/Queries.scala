@@ -2239,6 +2239,20 @@ object Queries {
       .orderBy("apex")
   }
 
+  /** DETERMINISTIC TRAIN/VAL/TEST SPLIT under the driver gate
+    * (ops/Sampling.hashSplit): 90/5/5 by mix32(doc_id) mod 1000 —
+    * reproducible at any parallelism (rand()-based randomSplit is
+    * neither re-run-stable nor partitioning-stable); source rides along
+    * so the gate also pins per-source assignment, not just the split
+    * sizes. Oracle re-renders the mix constant-for-constant
+    * (the q66 pattern) and the same cumulative CASE. */
+  def q83HashSplit(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("source"))
+    graft.ops.Sampling.hashSplit(d, "doc_id",
+        Seq("train" -> 900, "val" -> 50, "test" -> 50))
+      .orderBy("doc_id")
+  }
+
   /** QUALITY-FLOOR FILTERING under the driver gate — the curation step
     * that drops the bottom decile by quality score, composing q15's
     * integer scoring with q67's EXACT distributed quantile (histogram

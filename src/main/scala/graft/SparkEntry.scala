@@ -102,6 +102,7 @@ object SparkEntry {
     "q80_redact_clean" -> (Queries.q80RedactClean _),
     "q81_pack_bpe" -> (Queries.q81PackBpe _),
     "q82_quality_floor" -> (Queries.q82QualityFloor _),
+    "q83_hash_split" -> (Queries.q83HashSplit _),
   )
 
   // ---------------- oracle SQL ----------------
@@ -1242,5 +1243,16 @@ object SparkEntry {
         |  WHERE rn = (SELECT (count(*) + 9) // 10 FROM s))
         |SELECT doc_id, score, score >= (SELECT thr FROM t) AS kept
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q83_hash_split" -> // the mix re-rendered constant-for-constant + cumulative CASE
+      """WITH m1 AS (SELECT doc_id, source,
+        |    (doc_id * 2654435761) & 4294967295 AS a FROM documents),
+        |m2 AS (SELECT doc_id, source, xor(a, a >> 16) AS a2 FROM m1),
+        |m3 AS (SELECT doc_id, source, (a2 * 49979693) & 4294967295 AS a3 FROM m2),
+        |mx AS (SELECT doc_id, source, xor(a3, a3 >> 15) % 1000 AS h FROM m3)
+        |SELECT doc_id, source,
+        |  CASE WHEN h < 900 THEN 'train' WHEN h < 950 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM mx ORDER BY doc_id""".stripMargin,
   )
 }

@@ -76,4 +76,27 @@ object Sampling {
         explode(sequence(lit(0L), col("__n_copies") - 1)))
       .drop("__n_copies")
   }
+
+  /** Deterministic TRAIN/VAL/TEST split — the same mix, bucketed by
+    * cumulative permille: every re-run, at any parallelism or
+    * partitioning, assigns each id the identical split (rand()-based
+    * randomSplit is neither reproducible across cluster sizes nor
+    * stable under retries). `splits` are (name, permille) summing to
+    * 1000; assignment is h = mix32(id) mod 1000 walked through the
+    * cumulative bounds in order. Row-local, zero shuffle. */
+  def hashSplit(df: DataFrame, idCol: String,
+                splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum == 1000,
+      s"hashSplit: permilles must sum to 1000, got $splits")
+    require(splits.forall(_._2 > 0), s"hashSplit: empty split bucket in $splits")
+    require(!df.columns.contains("split"),
+      "hashSplit: input already has a 'split' column")
+    val h = mix32(col(idCol).cast("long")) % 1000
+    val cum = splits.map(_._2).scanLeft(0)(_ + _).tail
+    val assign = splits.init.zip(cum.init)
+      .foldRight(lit(splits.last._1)) { case (((name, _), hi), acc) =>
+        when(h < hi, name).otherwise(acc)
+      }
+    df.withColumn("split", assign)
+  }
 }

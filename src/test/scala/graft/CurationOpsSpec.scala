@@ -20,6 +20,31 @@ class CurationOpsSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  // ---------------- hash split ----------------
+
+  test("hashSplit is partitioning-invariant, exhaustive, and guarded") {
+    val sp = spark
+    import sp.implicits._
+    val ids = (0L until 2000L).toDF("id")
+    val splits = Seq("train" -> 900, "val" -> 50, "test" -> 50)
+    def assign(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      Sampling.hashSplit(df, "id", splits)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a1 = assign(ids)
+    val a17 = assign(ids.repartition(17))
+    assert(a1 === a17, "split assignment must not depend on partitioning")
+    assert(a1.values.toSet === Set("train", "val", "test"))
+    // proportions near the permilles (exact values pinned by the q83 gate)
+    val n = a1.size.toDouble
+    assert(math.abs(a1.values.count(_ == "train") / n - 0.9) < 0.03)
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(ids, "id", Seq("a" -> 500, "b" -> 400))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(ids.withColumn("split", lit("x")), "id", splits)
+    }
+  }
+
   // ---------------- packing ----------------
 
   /** Local model of the greedy rule, for arbitrary (id, shard, tok). */
