@@ -23,8 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => SpatialJoinRewrite)
     ext.injectOptimizerRule(_ => IntervalJoinRewrite)
-    val (id, info, builder) = GraftExtensions.h3CellFunction
-    ext.injectFunction((id, info, builder))
+    ext.injectOptimizerRule(_ => HammingJoinRewrite)
+    ext.injectFunction(GraftExtensions.h3CellFunction)
+    ext.injectFunction(GraftExtensions.simhash64Function)
   }
 }
 
@@ -43,6 +44,20 @@ object GraftExtensions {
             s"h3_cell resolution must be an integer literal, got $other")
       }
       H3CellExpr(exprs(0), exprs(1), res)
+    }
+    (id, info, builder)
+  }
+
+  /** `simhash64(text STRING) -> BIGINT` — the 64-bit fingerprint, so the
+    * natural Hamming near-dup join is writable END-TO-END in SQL and
+    * [[HammingJoinRewrite]] picks it up. */
+  val simhash64Function: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = {
+    val id = FunctionIdentifier("simhash64")
+    val info = new ExpressionInfo(
+      classOf[graft.functions.Simhash64Expr].getCanonicalName, "simhash64")
+    val builder: Seq[Expression] => Expression = { exprs =>
+      require(exprs.length == 1, s"simhash64 expects (text), got ${exprs.length} args")
+      graft.functions.Simhash64Expr(exprs.head)
     }
     (id, info, builder)
   }

@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** Catalyst optimizer rule: rewrite the NATURAL Hamming-distance join
   *
-  * {{{ a JOIN b ON bit_count(a.sim # b.sim) <= k }}}
+  * {{{ a JOIN b ON bit_count(a.sim ^ b.sim) <= k }}}
   *
   * — which vanilla Spark can only plan as a (Broadcast)NestedLoopJoin,
   * a full cross product at any scale — into the engine's PIGEONHOLE

@@ -309,9 +309,12 @@ object SpatialPlanner {
     spark.experimental.extraOptimizations = cur
   }
 
-  /** Register `h3_cell(lat, lon, res)` for `spark.sql` users. */
+  /** Register `h3_cell(lat, lon, res)` and `simhash64(text)` for
+    * `spark.sql` users on an already-running session. */
   def registerSql(spark: SparkSession): Unit = {
-    val (id, info, builder) = GraftExtensions.h3CellFunction
-    org.apache.spark.sql.graft.bridge.registerFunction(spark, id, info, builder)
+    Seq(GraftExtensions.h3CellFunction, GraftExtensions.simhash64Function)
+      .foreach { case (id, info, builder) =>
+        org.apache.spark.sql.graft.bridge.registerFunction(spark, id, info, builder)
+      }
   }
 }

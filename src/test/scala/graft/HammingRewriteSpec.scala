@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Plan-shape + semantics specs for [[graft.plans.HammingJoinRewrite]]:
-  * the natural `bit_count(a # b) <= k` join must plan as the banded
+  * the natural `bit_count(a ^ b) <= k` join must plan as the banded
   * hash join (no BroadcastNestedLoopJoin / CartesianProduct), produce
   * exactly the brute-force pair set with exact multiplicity (the
   * minimal-band guard, not a Distinct), and leave non-matching joins
@@ -98,6 +98,35 @@ class HammingRewriteSpec extends AnyFunSuite {
     val j = l.join(r, bit_count($"sa".bitwiseXOR($"sb")) <= 3)
     assert(j.count() === 2L)
     assert(!j.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("pure-SQL near-dup join via simhash64() rewrites and matches brute force") {
+    val s2 = session()
+    graft.plans.SpatialPlanner.registerSql(s2)
+    import s2.implicits._
+    val texts = (0 until 40).map { i =>
+      (i.toLong, (0 until 20).map(k => s"w${(i * 13 + k * 7) % 60}").mkString(" "))
+    }
+    texts.toDF("id", "text").createOrReplaceTempView("sqldocs")
+    val df = s2.sql(
+      """SELECT a.id AS id_a, b.id AS id_b
+        |FROM sqldocs a JOIN sqldocs b
+        |ON bit_count(simhash64(a.text) ^ simhash64(b.text)) <= 3
+        |   AND a.id < b.id""".stripMargin)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"SQL-surface hamming join still plans as a nested loop:\n$plan")
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fps = texts.map { case (i, t) => (i, Queries.simhash64(t)) }
+    val expected = (for {
+      (ia, sa) <- fps; (ib, sb) <- fps
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    assert(got === expected)
+    // the codegen'd expression and the kernel agree (interpreted parity
+    // is covered suite-wide by the NO_CODEGEN gate run)
+    val one = s2.sql("SELECT simhash64('alpha beta gamma') AS s").head().getLong(0)
+    assert(one === Queries.simhash64("alpha beta gamma"))
   }
 
   test("joins with an existing equi-key or non-long fingerprints are left alone") {
