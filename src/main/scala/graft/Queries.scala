@@ -2253,6 +2253,29 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** NEAR-DUP DECONTAMINATION under the driver gate — the production
+    * `NOT EXISTS a near-dup in the eval set` shape, written as the
+    * NATURAL LeftAnti Hamming join and planned by the Semi/Anti arm of
+    * [[graft.plans.HammingJoinRewrite]] (tag → band-explode → banded
+    * anti-join → count == bands re-collapse; pigeonhole keeps it exact,
+    * unlike LSH-recall decontamination). Eval = every 7th doc's
+    * fingerprint, so each eval doc must evict itself (distance 0) plus
+    * its honest ≤ 3 neighbors; the oracle recomputes the mirrored
+    * 64-bit fingerprint halves and the brute-force NOT EXISTS. q69
+    * decontaminates by exact n-gram overlap; this is its fuzzy sibling
+    * — the pair covers both audit shapes a training pipeline runs. */
+  def q84DecontamNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val s2 = spark.newSession()
+    graft.plans.SpatialPlanner.enable(s2)
+    val sh = udf((text: String) => simhash64(text))
+    val sims = docs(s2, dir).select(col("doc_id"), sh(col("text")).as("sim"))
+    val evalFps = sims.filter(col("doc_id") % 7 === 0).toDF("id_e", "se")
+    sims.join(evalFps,
+        bit_count(col("sim").bitwiseXOR(col("se"))) <= 3, "left_anti")
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+  }
+
   /** QUALITY-FLOOR FILTERING under the driver gate — the curation step
     * that drops the bottom decile by quality score, composing q15's
     * integer scoring with q67's EXACT distributed quantile (histogram

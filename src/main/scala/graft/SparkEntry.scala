@@ -103,6 +103,7 @@ object SparkEntry {
     "q81_pack_bpe" -> (Queries.q81PackBpe _),
     "q82_quality_floor" -> (Queries.q82QualityFloor _),
     "q83_hash_split" -> (Queries.q83HashSplit _),
+    "q84_decontam_neardup" -> (Queries.q84DecontamNeardup _),
   )
 
   // ---------------- oracle SQL ----------------
@@ -1254,5 +1255,18 @@ object SparkEntry {
         |  CASE WHEN h < 900 THEN 'train' WHEN h < 950 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM mx ORDER BY doc_id""".stripMargin,
+
+    "q84_decontam_neardup" -> // brute-force NOT EXISTS over the mirrored 64-bit halves
+      s"""WITH tok64 AS (
+         |  SELECT doc_id,
+         |    ${simhash64Tok("hs1", 2654435761L, 49979693L)},
+         |    ${simhash64Tok("hs2", 2246822519L, 57885161L)}
+         |  FROM documents),
+         |s AS ($simhash64Halves),
+         |ev AS (SELECT lo, hi FROM s WHERE doc_id % 7 = 0)
+         |SELECT s.doc_id FROM s
+         |WHERE NOT EXISTS (SELECT 1 FROM ev
+         |  WHERE bit_count(xor(s.lo, ev.lo)) + bit_count(xor(s.hi, ev.hi)) <= 3)
+         |ORDER BY doc_id""".stripMargin,
   )
 }

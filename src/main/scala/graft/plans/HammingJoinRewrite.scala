@@ -1,7 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.expressions.aggregate.Count
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{IntegerType, LongType}
@@ -21,14 +22,22 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *  - completeness: with `bands` > k disjoint bands, ≤ k differing bits
   *    cannot touch every band, so every qualifying pair agrees on at
   *    least one whole band — candidate generation is a superset;
-  *  - multiplicity: a pair agreeing on several bands would duplicate,
-  *    so the join keeps only the MINIMAL agreeing band via the unrolled
-  *    row-local filter AND_{b'<band}(key_b'(l) ≠ key_b'(r)) — each
-  *    qualifying (l, r) combination survives in exactly one band row
-  *    pair, preserving Inner multiplicity without a Distinct. INNER
-  *    only: under Semi/Anti the preserved side is exploded, and a left
-  *    row matching different right rows in different minimal bands (or
-  *    matching none, for Anti) would emit per-band copies.
+  *  - multiplicity (Inner): a pair agreeing on several bands would
+  *    duplicate, so the join keeps only the MINIMAL agreeing band via
+  *    the unrolled row-local filter AND_{b'<band}(key_b'(l) ≠ key_b'(r))
+  *    — each qualifying (l, r) combination survives in exactly one band
+  *    row pair, preserving Inner multiplicity without a Distinct;
+  *  - multiplicity (LeftSemi/LeftAnti — the decontamination shapes
+  *    `EXISTS` / `NOT EXISTS` a near-dup in the eval set): the preserved
+  *    side is exploded, so the rewrite first tags each left row with a
+  *    MonotonicallyIncreasingID and re-collapses the band rows by
+  *    (rid, left.*) after the banded semi/anti join. Semi: a left row
+  *    matched iff ≥ 1 of its band rows semi-survives — the group-by
+  *    yields it exactly once (rid keeps bitwise-identical duplicates
+  *    apart, as Semi semantics demand). Anti: a left row has NO match
+  *    iff ALL `bands` of its band rows anti-survive (pigeonhole: a real
+  *    match agrees on ≥ 1 whole band), so the group-by counts survivors
+  *    and keeps count == bands.
   *
   * `bands` is the smallest power-of-two divisor of the fingerprint
   * width exceeding k (k ≤ 3 → 4×16 bits, the q61 configuration; larger
@@ -93,7 +102,7 @@ object HammingJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case j @ Join(left, right, Inner, Some(cond), hint)
+    case j @ Join(left, right, jt @ (Inner | LeftSemi | LeftAnti), Some(cond), hint)
         if j.resolved &&
           !left.output.exists(_.name.startsWith(HB)) &&
           !right.output.exists(_.name.startsWith(HB)) =>
@@ -112,17 +121,52 @@ object HammingJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         case Some((ls, rs, k)) =>
           val bands = Seq(2, 4, 8, 16, 32, 64).find(_ > k).get
           val w = BITS / bands
-          val (lp, lb, lk) = banded(left, ls, bands, w)
-          val (rp, rb, rk) = banded(right, rs, bands, w)
-          // minimal-band filter: no EARLIER band key also agrees — each
-          // qualifying pair survives in exactly one band row pair
-          val minimality = (0 until bands - 1).map { b =>
-            Or(LessThanOrEqual(lb, Literal(b)),
-              Not(EqualTo(bandKey(ls, b, w), bandKey(rs, b, w))))
-          }.reduceLeft(And)
-          val newCond = Seq(EqualTo(lb, rb), EqualTo(lk, rk), minimality, cond)
-            .reduceLeft(And)
-          Project(j.output, Join(lp, rp, Inner, Some(newCond), hint))
+          jt match {
+            case Inner =>
+              val (lp, lb, lk) = banded(left, ls, bands, w)
+              val (rp, rb, rk) = banded(right, rs, bands, w)
+              // minimal-band filter: no EARLIER band key also agrees — each
+              // qualifying pair survives in exactly one band row pair
+              val minimality = (0 until bands - 1).map { b =>
+                Or(LessThanOrEqual(lb, Literal(b)),
+                  Not(EqualTo(bandKey(ls, b, w), bandKey(rs, b, w))))
+              }.reduceLeft(And)
+              val newCond = Seq(EqualTo(lb, rb), EqualTo(lk, rk), minimality, cond)
+                .reduceLeft(And)
+              Project(j.output, Join(lp, rp, Inner, Some(newCond), hint))
+            case semiOrAnti =>
+              rewriteSemiAnti(j, left, right, semiOrAnti, cond, ls, rs, bands, w, hint)
+          }
       }
+  }
+
+  /** Semi/Anti via tag-explode-recollapse: rid = MonotonicallyIncreasingID
+    * on the preserved side, banded Semi/Anti join on (band, key) + the
+    * original predicate, then group by (rid, left.*). Semi keeps every
+    * group (≥ 1 band row matched); Anti keeps groups where ALL `bands`
+    * band rows anti-survived (count == bands — pigeonhole: a real match
+    * agrees on at least one whole band). Exact multiplicity: rid keeps
+    * bitwise-identical left duplicates apart; grouping BY the original
+    * left attributes lets the Aggregate output them with unchanged
+    * exprIds, so the outer Project resolves j.output untouched. */
+  private def rewriteSemiAnti(j: Join, left: LogicalPlan, right: LogicalPlan,
+      jt: JoinType, cond: Expression, ls: Expression, rs: Expression,
+      bands: Int, w: Int, hint: JoinHint): LogicalPlan = {
+    val ridAlias = Alias(MonotonicallyIncreasingID(), HB + "_rid")()
+    val leftTagged = Project(left.output :+ ridAlias, left)
+    val (lp, lb, lk) = banded(leftTagged, ls, bands, w)
+    val (rp, rb, rk) = banded(right, rs, bands, w)
+    val newCond = Seq(EqualTo(lb, rb), EqualTo(lk, rk), cond).reduceLeft(And)
+    val core = Join(lp, rp, jt, Some(newCond), hint)
+    val grouping = ridAlias.toAttribute +: left.output
+    jt match {
+      case LeftSemi =>
+        Project(j.output, Aggregate(grouping, left.output, core))
+      case _ => // LeftAnti
+        val cnt = Alias(Count(Literal(1)).toAggregateExpression(), HB + "_c")()
+        val agg = Aggregate(grouping, left.output :+ cnt, core)
+        Project(j.output,
+          Filter(EqualTo(cnt.toAttribute, Literal(bands.toLong)), agg))
+    }
   }
 }

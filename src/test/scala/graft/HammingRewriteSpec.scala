@@ -100,6 +100,49 @@ class HammingRewriteSpec extends AnyFunSuite {
     assert(!j.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("LeftSemi and LeftAnti rewrite to the banded plan and match brute force exactly") {
+    val s2 = session()
+    import s2.implicits._
+    val sims = mkSims(s2, 60)
+    val evalSet = sims.filter(_._1 % 5 == 0) // a disjointly-sampled "eval" side
+    val l = sims.toDF("id", "sim")
+    val r = evalSet.map { case (i, s) => (i + 5000L, s) }.toDF("id_e", "se")
+    val cond = bit_count($"sim".bitwiseXOR($"se")) <= 3
+    val matchedIds = (for {
+      (il, sl) <- sims; (_, sr) <- evalSet
+      if java.lang.Long.bitCount(sl ^ sr) <= 3
+    } yield il).toSet
+    for ((jt, expected) <- Seq(
+        ("left_semi", matchedIds),
+        ("left_anti", sims.map(_._1).toSet -- matchedIds))) {
+      val j = l.join(r, cond, jt)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"$jt hamming join still plans as a nested loop:\n$plan")
+      assert(j.columns.toSeq === Seq("id", "sim"), s"$jt must output the left schema only")
+      val got = j.select("id").collect().map(_.getLong(0))
+      assert(got.length === got.toSet.size, s"$jt emitted per-band duplicates")
+      assert(got.toSet === expected, s"$jt result diverges from brute force")
+    }
+  }
+
+  test("Semi/Anti preserve duplicate-left-row multiplicity and null fingerprints") {
+    val s2 = session()
+    import s2.implicits._
+    // two bitwise-identical left rows: Semi keeps BOTH when matched,
+    // Anti keeps BOTH when unmatched; a null fingerprint never matches
+    val l = Seq((1L, java.lang.Long.valueOf(5L)), (1L, java.lang.Long.valueOf(5L)),
+      (2L, java.lang.Long.valueOf(-1L)), (3L, null.asInstanceOf[java.lang.Long]))
+      .toDF("id", "sim")
+    val r = Seq((10L, 7L)).toDF("id_e", "se") // hamming(5,7)=1 — matches id=1 only
+    val semi = l.join(r, bit_count($"sim".bitwiseXOR($"se")) <= 3, "left_semi")
+    val anti = l.join(r, bit_count($"sim".bitwiseXOR($"se")) <= 3, "left_anti")
+    assert(semi.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 1L))
+    assert(anti.collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 3L))
+    for (j <- Seq(semi, anti))
+      assert(!j.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("pure-SQL near-dup join via simhash64() rewrites and matches brute force") {
     val s2 = session()
     graft.plans.SpatialPlanner.registerSql(s2)
