@@ -494,6 +494,46 @@ object Queries {
     out
   }
 
+  /** SimHash (128-bit, as two longs (lo, hi)) — the next RUNG above the
+    * 64-bit fingerprint: with 8×16-bit pigeonhole bands the EXACT
+    * Hamming join reaches k ≤ 7 (64-bit 4×16 caps at k ≤ 3) while the
+    * random-pair distance doubles (≈ 64), so the refine rejects
+    * non-dups far harder at the same band-key width. Four 32-bit words
+    * = the same 31-bit polynomial token hash finalized through FOUR
+    * multiply–xorshift–multiply mixes — the q60/q68 pair plus two more
+    * (m1 from the xxhash32/murmur2 families, m2 < 2²⁶ so the SQL
+    * mirror's products stay inside BIGINT, same proof as HllAgg.mix). */
+  def simhash128(text: String): Array[Long] = {
+    val tokens = text.trim.split("\\s+")
+    val acc = new Array[Int](128)
+    tokens.foreach { tok =>
+      var v = 0L
+      var k = 0
+      while (k < tok.length) { v = (v * 31L + tok.charAt(k).toLong) % MH_PRIME; k += 1 }
+      val hs = Array(
+        graft.functions.HllAgg.mix(v, 2654435761L, 49979693L),
+        graft.functions.HllAgg.mix(v, 2246822519L, 57885161L),
+        graft.functions.HllAgg.mix(v, 3266489917L, 39916801L),
+        graft.functions.HllAgg.mix(v, 1540483477L, 23456789L))
+      var w = 0
+      while (w < 4) {
+        var b = 0
+        while (b < 32) {
+          acc(w * 32 + b) += (if (((hs(w) >> b) & 1L) == 1L) 1 else -1)
+          b += 1
+        }
+        w += 1
+      }
+    }
+    val out = new Array[Long](2)
+    var b = 0
+    while (b < 128) {
+      if (acc(b) >= 0) out(b / 64) |= (1L << (b % 64))
+      b += 1
+    }
+    out
+  }
+
   def q20Simhash(spark: SparkSession, dir: String): DataFrame = {
     val sh = udf((text: String) => simhash32(text))
     docs(spark, dir).select(col("doc_id"), sh(col("text")).as("simhash")).orderBy("doc_id")
@@ -2251,6 +2291,37 @@ object Queries {
     graft.ops.Sampling.hashSplit(d, "doc_id",
         Seq("train" -> 900, "val" -> 50, "test" -> 50))
       .orderBy("doc_id")
+  }
+
+  /** PER-DOC TOP-K TF-IDF TERMS under the driver gate (ops/TfIdf) — the
+    * keyword-extraction curation step, with the integer-exact score
+    * (tf · 10⁶ div df; a float ln-idf ranks identically for fixed N but
+    * one-ulp engine differences reorder ranks) and term-ascending tie
+    * break so the rank table is a total order. Oracle recomputes tf, df,
+    * the integer score, and the windowed rank definitionally. */
+  def q85Tfidf(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TfIdf.topTerms(docs(spark, dir), "doc_id", "text", k = 5)
+      .orderBy("doc_id", "rank")
+
+  /** 128-BIT EXACT HAMMING JOIN under the driver gate (the rung above
+    * q61's 64-bit join: 8×16-bit pigeonhole bands reach k ≤ 7, and the
+    * doubled random-pair distance makes the refine far more selective
+    * at the same band-key width). Corpus + one EXACT twin per doc
+    * (whitespace-wrapped, id +100000 — trims to the same token stream,
+    * so each twin pair sits at distance 0 by construction and the gate
+    * is never vacuous) joined at k = 7; the oracle recomputes all FOUR
+    * mixed 32-bit words and the brute-force all-pairs distance as
+    * popcount over the four xor'd words. */
+  def q86Simhash128Pairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = udf((text: String) => simhash128(text))
+    val base = docs(spark, dir).select(col("doc_id"), col("text"))
+    val twins = base.select((col("doc_id") + 100000L).as("doc_id"),
+      concat(lit("  "), col("text"), lit(" ")).as("text"))
+    val sims = base.unionByName(twins)
+      .select(col("doc_id").as("id"), sh(col("text")).as("s"))
+      .select(col("id"), col("s")(0).as("lo"), col("s")(1).as("hi"))
+    graft.join.SimilarityJoin.simhash128HammingJoin(sims, k = 7)
+      .orderBy("id_a", "id_b")
   }
 
   /** NEAR-DUP DECONTAMINATION under the driver gate — the production

@@ -104,6 +104,8 @@ object SparkEntry {
     "q82_quality_floor" -> (Queries.q82QualityFloor _),
     "q83_hash_split" -> (Queries.q83HashSplit _),
     "q84_decontam_neardup" -> (Queries.q84DecontamNeardup _),
+    "q85_tfidf" -> (Queries.q85Tfidf _),
+    "q86_simhash128_pairs" -> (Queries.q86Simhash128Pairs _),
   )
 
   // ---------------- oracle SQL ----------------
@@ -1268,5 +1270,39 @@ object SparkEntry {
          |WHERE NOT EXISTS (SELECT 1 FROM ev
          |  WHERE bit_count(xor(s.lo, ev.lo)) + bit_count(xor(s.hi, ev.hi)) <= 3)
          |ORDER BY doc_id""".stripMargin,
+
+    "q85_tfidf" -> // tf, df, integer score, and windowed rank recomputed definitionally
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |  WHERE length(term) > 0 GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |s AS (SELECT doc_id, tf.term, tf.tf, df.df,
+        |    tf.tf * 1000000 // df.df AS score FROM tf JOIN df USING (term)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term ASC) AS rank FROM s)
+        |SELECT doc_id, term, tf, df, score, rank FROM r
+        |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+
+    "q86_simhash128_pairs" -> // brute-force all-pairs over the four mirrored 32-bit words
+      s"""WITH d AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 100000, concat('  ', text, ' ') FROM documents),
+         |tok128 AS (
+         |  SELECT doc_id,
+         |    ${simhash64Tok("hs1", 2654435761L, 49979693L)},
+         |    ${simhash64Tok("hs2", 2246822519L, 57885161L)},
+         |    ${simhash64Tok("hs3", 3266489917L, 39916801L)},
+         |    ${simhash64Tok("hs4", 1540483477L, 23456789L)}
+         |  FROM d),
+         |s AS (SELECT doc_id, ${simhashBitsOf("hs1")} AS w1, ${simhashBitsOf("hs2")} AS w2,
+         |    ${simhashBitsOf("hs3")} AS w3, ${simhashBitsOf("hs4")} AS w4 FROM tok128)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  bit_count(xor(a.w1, b.w1)) + bit_count(xor(a.w2, b.w2)) +
+         |  bit_count(xor(a.w3, b.w3)) + bit_count(xor(a.w4, b.w4)) AS hamming
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.w1, b.w1)) + bit_count(xor(a.w2, b.w2)) +
+         |  bit_count(xor(a.w3, b.w3)) + bit_count(xor(a.w4, b.w4)) <= 7
+         |ORDER BY id_a, id_b""".stripMargin,
   )
 }

@@ -66,6 +66,43 @@ object SimilarityJoin {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** 128-bit EXACT Hamming join — the rung above [[simhashHammingJoin]]
+    * for corpora where k ≤ 3 is too tight: 8 disjoint 16-bit bands (4 per
+    * long half) give the pigeonhole guarantee up to k ≤ 7, and the
+    * random-pair distance doubles (≈ 64 on mixed fingerprints) so the
+    * exact refine rejects non-dups far harder at the same band-key
+    * width. sims: (id, lo, hi) — two longs per the engine's simhash128.
+    * Returns (id_a, id_b, hamming) for all pairs with
+    * popcount(lo⊕lo′) + popcount(hi⊕hi′) ≤ k. Same plan shape as the
+    * 64-bit join: band union → equi-join on (band, key) → observe →
+    * distinct → exact refine; candidates are PROVABLY complete. */
+  def simhash128HammingJoin(sims: DataFrame, k: Int,
+                            metricName: String = "simhash128_join_band_rows"): DataFrame = {
+    val bands = 8
+    require(bands > k && k >= 0, s"pigeonhole needs bands ($bands) > k ($k) >= 0")
+    val mask = (1L << 16) - 1
+    val s = sims.select(col("id"), col("lo"), col("hi")).localCheckpoint(true)
+    val banded = (0 until bands).map { b =>
+      val word = if (b < 4) col("lo") else col("hi")
+      s.select(col("id"), lit(b).as("band"),
+        shiftright(word, (b % 4) * 16).bitwiseAND(lit(mask)).as("bkey"))
+    }.reduce(_ unionByName _)
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .observe(metricName, count(lit(1)).as("rows"))
+      .distinct()
+    cand
+      .join(s.select(col("id").as("id_a"), col("lo").as("__la"), col("hi").as("__ha")), Seq("id_a"))
+      .join(s.select(col("id").as("id_b"), col("lo").as("__lb"), col("hi").as("__hb")), Seq("id_b"))
+      .withColumn("hamming",
+        bit_count(col("__la").bitwiseXOR(col("__lb"))) +
+          bit_count(col("__ha").bitwiseXOR(col("__hb"))))
+      .filter(col("hamming") <= k)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Exact two-pointer intersection count over SORTED long arrays with
     * the PPJoin-style early abort: once the remaining elements cannot
     * reach `oreq` the pair is provably below threshold and the scan stops

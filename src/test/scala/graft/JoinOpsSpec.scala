@@ -144,6 +144,52 @@ class JoinOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](SimilarityJoin.simhashHammingJoin(sims, k = 4))
   }
 
+  test("simhash128 hamming join == brute force at k=7; word mixing reaches every band") {
+    import spark.implicits._
+    import graft.join.SimilarityJoin
+    // constructed (lo, hi) pairs at distances straddling k=7 across BOTH
+    // halves, plus real corpus-shaped fingerprints from the kernel
+    val bl = 0x5A5A5A5AF0F0F0F0L; val bh = 0x123456789ABCDEF0L
+    val planted = Seq(
+      (1L, bl, bh), (2L, bl, bh),                         // 0
+      (3L, bl ^ 0xFL, bh),                                // 4, lo only
+      (4L, bl ^ 0x7L, bh ^ 0xF000000000000000L),          // 7 split halves
+      (5L, bl ^ 0xFFL, bh),                               // 8 — excluded
+      (6L, bl, bh ^ 0x0101010101010101L))                 // 8 — excluded
+    // disjoint per-doc vocabularies → independent fingerprints, so the
+    // band-distinctness guard below measures the MIX, not corpus overlap
+    val kernel = (0 until 40).map { i =>
+      val s = graft.Queries.simhash128((0 until 25).map(t => s"w${i}x$t").mkString(" "))
+      (100L + i, s(0), s(1))
+    }
+    val sims = (planted ++ kernel).toDF("id", "lo", "hi")
+    val got = SimilarityJoin.simhash128HammingJoin(sims, k = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val brute = sims.as("a").crossJoin(sims.as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .withColumn("h", bit_count(col("a.lo").bitwiseXOR(col("b.lo"))) +
+        bit_count(col("a.hi").bitwiseXOR(col("b.hi"))))
+      .filter(col("h") <= 7)
+      .select(col("a.id"), col("b.id"), col("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(got == brute)
+    assert(got.contains((1L, 4L, 7)) && got.contains((2L, 4L, 7)), "k=7 boundary pair missed")
+    // 5 and 6 are distance 8 from the BASE (1/2) — excluded there; (3,5)
+    // at distance 4 is legitimately present
+    assert(!got.exists(p => Set(p._1, p._2).exists(Set(5L, 6L)) &&
+      Set(p._1, p._2).exists(Set(1L, 2L))), "hamming-8 pair leaked")
+    intercept[IllegalArgumentException](SimilarityJoin.simhash128HammingJoin(sims, k = 8))
+    // the round-7 lesson as a guard: EVERY 16-bit band of the kernel's
+    // words must see many distinct keys (a raw poly once collapsed the
+    // high bands to ONE key = a cross product smuggled through banding)
+    for (b <- 0 until 8) {
+      val keys = kernel.map { case (_, lo, hi) =>
+        ((if (b < 4) lo else hi) >>> ((b % 4) * 16)) & 0xFFFFL
+      }.distinct.size
+      assert(keys >= 35, s"band $b key collapse: only $keys distinct keys across 40 docs")
+    }
+  }
+
   test("exact jaccard join == brute force, including threshold-boundary pairs") {
     import spark.implicits._
     import graft.join.SimilarityJoin
