@@ -42,15 +42,33 @@ object SimilarityJoin {
     require(bits % bands == 0, s"bands must divide bits")
     val w = bits / bands
     val mask = (1L << w) - 1
+    bandedHammingJoin(sims, simCols = Seq("sim"), nBands = bands,
+      bandKey = b => shiftright(col("sim"), b * w).bitwiseAND(lit(mask)),
+      hamming = (a, b) => bit_count(a("sim").bitwiseXOR(b("sim"))),
+      k = k, metricName = metricName)
+  }
+
+  /** Shared banded-pigeonhole core of the exact Hamming joins: checkpoint
+    * the fingerprint table once, explode to (id, band, 16-bit key) rows,
+    * equi-join on (band, key) with id_a < id_b, observe the pre-dedup
+    * candidate count, Distinct, then refine with the exact distance
+    * fetched from the checkpointed table. Parameterized over the word
+    * columns and the per-band key/distance expressions so one body serves
+    * every fingerprint width (32/64-bit single-long, 128-bit two-long,
+    * and the next rung for free). */
+  private def bandedHammingJoin(sims: DataFrame, simCols: Seq[String], nBands: Int,
+      bandKey: Int => org.apache.spark.sql.Column,
+      hamming: (String => org.apache.spark.sql.Column, String => org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
+      k: Int, metricName: String): DataFrame = {
     // materialize the fingerprints ONCE (eager, lineage-truncating): the
-    // band union reads them `bands` times and the refine twice more — an
+    // band union reads them `nBands` times and the refine twice more — an
     // un-materialized input would re-run the caller's fingerprint UDF and
-    // source scan 6×, the exact recompute q50 caches its signatures
-    // against
-    val s = sims.select(col("id"), col("sim")).localCheckpoint(true)
-    val banded = (0 until bands).map { b =>
-      s.select(col("id"), lit(b).as("band"),
-        shiftright(col("sim"), b * w).bitwiseAND(lit(mask)).as("bkey"))
+    // source scan per read. The blocks live until session end (a lazy
+    // result can't drop them itself — callers running MANY joins per
+    // session own that hygiene; cf. ConnectedComponents.dropCheckpoint).
+    val s = sims.select((col("id") +: simCols.map(col)): _*).localCheckpoint(true)
+    val banded = (0 until nBands).map { b =>
+      s.select(col("id"), lit(b).as("band"), bandKey(b).as("bkey"))
     }.reduce(_ unionByName _)
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -59,9 +77,9 @@ object SimilarityJoin {
       .observe(metricName, count(lit(1)).as("rows")) // below the dedup exchange: executes once
       .distinct()
     cand
-      .join(s.select(col("id").as("id_a"), col("sim").as("__sa")), Seq("id_a"))
-      .join(s.select(col("id").as("id_b"), col("sim").as("__sb")), Seq("id_b"))
-      .withColumn("hamming", bit_count(col("__sa").bitwiseXOR(col("__sb"))))
+      .join(s.select((col("id").as("id_a") +: simCols.map(c => col(c).as(s"__a_$c"))): _*), Seq("id_a"))
+      .join(s.select((col("id").as("id_b") +: simCols.map(c => col(c).as(s"__b_$c"))): _*), Seq("id_b"))
+      .withColumn("hamming", hamming(c => col(s"__a_$c"), c => col(s"__b_$c")))
       .filter(col("hamming") <= k)
       .select("id_a", "id_b", "hamming")
   }
@@ -81,26 +99,12 @@ object SimilarityJoin {
     val bands = 8
     require(bands > k && k >= 0, s"pigeonhole needs bands ($bands) > k ($k) >= 0")
     val mask = (1L << 16) - 1
-    val s = sims.select(col("id"), col("lo"), col("hi")).localCheckpoint(true)
-    val banded = (0 until bands).map { b =>
-      val word = if (b < 4) col("lo") else col("hi")
-      s.select(col("id"), lit(b).as("band"),
-        shiftright(word, (b % 4) * 16).bitwiseAND(lit(mask)).as("bkey"))
-    }.reduce(_ unionByName _)
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .observe(metricName, count(lit(1)).as("rows"))
-      .distinct()
-    cand
-      .join(s.select(col("id").as("id_a"), col("lo").as("__la"), col("hi").as("__ha")), Seq("id_a"))
-      .join(s.select(col("id").as("id_b"), col("lo").as("__lb"), col("hi").as("__hb")), Seq("id_b"))
-      .withColumn("hamming",
-        bit_count(col("__la").bitwiseXOR(col("__lb"))) +
-          bit_count(col("__ha").bitwiseXOR(col("__hb"))))
-      .filter(col("hamming") <= k)
-      .select("id_a", "id_b", "hamming")
+    bandedHammingJoin(sims, simCols = Seq("lo", "hi"), nBands = bands,
+      bandKey = b => shiftright(if (b < 4) col("lo") else col("hi"), (b % 4) * 16)
+        .bitwiseAND(lit(mask)),
+      hamming = (a, b) => bit_count(a("lo").bitwiseXOR(b("lo"))) +
+        bit_count(a("hi").bitwiseXOR(b("hi"))),
+      k = k, metricName = metricName)
   }
 
   /** Exact two-pointer intersection count over SORTED long arrays with

@@ -24,6 +24,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => SpatialJoinRewrite)
     ext.injectOptimizerRule(_ => IntervalJoinRewrite)
     ext.injectOptimizerRule(_ => HammingJoinRewrite)
+    // the operator-optimization batch (where injectOptimizerRule lands)
+    // runs BEFORE RewriteSubquery, so the NOT EXISTS decontamination
+    // shape only becomes a LeftAnti join after the rule's batch is over —
+    // the planner strategy below runs at physical planning and catches it
+    // (probed: bench/ExtProbe; an AQE runtime-rule injection does NOT)
+    ext.injectPlannerStrategy(_ => HammingJoinStrategy)
     ext.injectFunction(GraftExtensions.h3CellFunction)
     ext.injectFunction(GraftExtensions.simhash64Function)
   }

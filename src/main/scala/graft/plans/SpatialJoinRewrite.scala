@@ -307,6 +307,13 @@ object SpatialPlanner {
     if (!cur.contains(IntervalJoinRewrite)) cur = cur :+ IntervalJoinRewrite
     if (!cur.contains(HammingJoinRewrite)) cur = cur :+ HammingJoinRewrite
     spark.experimental.extraOptimizations = cur
+    // planning-time twin, mirroring the GraftExtensions registration: the
+    // extraOptimizations batch happens to run after RewriteSubquery, but
+    // the strategy makes EXISTS/NOT EXISTS coverage independent of batch
+    // ordering on both enable paths
+    val strats = spark.experimental.extraStrategies
+    if (!strats.contains(HammingJoinStrategy))
+      spark.experimental.extraStrategies = strats :+ HammingJoinStrategy
   }
 
   /** Register `h3_cell(lat, lon, res)` and `simhash64(text)` for

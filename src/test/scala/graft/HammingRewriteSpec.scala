@@ -143,6 +143,46 @@ class HammingRewriteSpec extends AnyFunSuite {
       assert(!j.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("Semi/Anti tolerate ungroupable payload types and return float payloads byte-unchanged") {
+    val s2 = session()
+    import s2.implicits._
+    // a MAP column on the preserved side (grouping on maps is unsupported —
+    // the re-collapse must group on rid alone) and a -0.0 double that a
+    // float-normalizing group-by would rewrite to 0.0
+    val l = Seq(
+      (1L, 5L, Map("k" -> 1), -0.0),
+      (2L, -1L, Map("other" -> 2), 1.5)).toDF("id", "sim", "meta", "score")
+    val r = Seq((10L, 7L)).toDF("id_e", "se") // matches sim=5 at distance 1
+    val semi = l.join(r, bit_count($"sim".bitwiseXOR($"se")) <= 3, "left_semi")
+    val anti = l.join(r, bit_count($"sim".bitwiseXOR($"se")) <= 3, "left_anti")
+    for (j <- Seq(semi, anti))
+      assert(!j.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
+        "map-typed payload fell back to a nested loop")
+    val sRow = semi.collect()
+    assert(sRow.map(_.getLong(0)).toSeq === Seq(1L))
+    assert(sRow.head.getMap[String, Int](2).toMap === Map("k" -> 1))
+    assert(java.lang.Double.doubleToRawLongBits(sRow.head.getDouble(3)) ===
+      java.lang.Double.doubleToRawLongBits(-0.0), "-0.0 payload was normalized")
+    assert(anti.collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
+  test("non-attribute fingerprints are projected once, not re-evaluated per band and pair") {
+    val s2 = session()
+    graft.plans.SpatialPlanner.registerSql(s2)
+    import s2.implicits._
+    (0 until 10).map(i => (i.toLong, s"doc number $i words"))
+      .toDF("id", "text").createOrReplaceTempView("fpdocs")
+    val df = s2.sql(
+      """SELECT a.id FROM fpdocs a JOIN fpdocs b
+        |ON bit_count(simhash64(a.text) ^ simhash64(b.text)) <= 3 AND a.id < b.id""".stripMargin)
+    val plan = df.queryExecution.executedPlan.toString
+    val evals = "simhash64".r.findAllIn(plan).length
+    // one Project per side (the __graft_hb_fp alias); embedding the raw
+    // expression in band keys + minimality + refine would show 10+ sites
+    assert(evals <= 4, s"simhash64 appears $evals times in the plan — re-evaluated per band/pair:\n$plan")
+    assert(df.count() >= 0) // executes
+  }
+
   test("pure-SQL near-dup join via simhash64() rewrites and matches brute force") {
     val s2 = session()
     graft.plans.SpatialPlanner.registerSql(s2)
@@ -170,6 +210,34 @@ class HammingRewriteSpec extends AnyFunSuite {
     // is covered suite-wide by the NO_CODEGEN gate run)
     val one = s2.sql("SELECT simhash64('alpha beta gamma') AS s").head().getLong(0)
     assert(one === Queries.simhash64("alpha beta gamma"))
+  }
+
+  test("NOT EXISTS / EXISTS SQL shapes plan banded via the planning-time strategy") {
+    val s2 = session()
+    graft.plans.SpatialPlanner.registerSql(s2)
+    import s2.implicits._
+    val sims = mkSims(s2, 40)
+    sims.toDF("id", "sim").createOrReplaceTempView("nedocs")
+    // the decontamination shape: RewriteSubquery only manufactures the
+    // LeftAnti join AFTER the optimizer-rule batches — the strategy twin
+    // must catch it at physical planning (strategy-only would also work;
+    // bench/ExtProbe pins the spark.sql.extensions path end-to-end)
+    for ((shape, op) <- Seq(("NOT EXISTS", "left_anti"), ("EXISTS", "left_semi"))) {
+      val df = s2.sql(
+        s"""SELECT t.id FROM nedocs t WHERE $shape (
+           |  SELECT 1 FROM nedocs e
+           |  WHERE bit_count(t.sim ^ e.sim) <= 3 AND t.id <> e.id)""".stripMargin)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"$shape still plans as a nested loop:\n$plan")
+      val got = df.collect().map(_.getLong(0)).toSet
+      val matched = (for {
+        (i, s) <- sims; (j, t) <- sims
+        if i != j && java.lang.Long.bitCount(s ^ t) <= 3
+      } yield i).toSet
+      val expected = if (op == "left_anti") sims.map(_._1).toSet -- matched else matched
+      assert(got === expected, s"$shape result diverges from brute force")
+    }
   }
 
   test("joins with an existing equi-key or non-long fingerprints are left alone") {
