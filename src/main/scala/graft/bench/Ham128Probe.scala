@@ -1,0 +1,49 @@
+package graft.bench
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch diagnostic: the ScaleSmoke exact-Hamming entries (64-bit 4×16
+  * vs 128-bit 8×16 at the same n) run STANDALONE — same corpus
+  * construction as ScaleSmoke, for measuring the wider join's candidate
+  * price without paying for the rest of the smoke. */
+object Ham128Probe {
+  def main(args: Array[String]): Unit = {
+    val docN = if (args.nonEmpty) args(0).toLong else 2000000L
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val observed = Observed.register(spark)
+    val vocabArr = array((0 until 1000).map(i => lit(s"w$i")): _*)
+    val wordCols = (0 until 30).map { k =>
+      element_at(vocabArr,
+        (graft.ops.Sampling.mix32(col("id") * lit(31L) + lit(k.toLong))
+          % lit(1000L) + lit(1L)).cast("int"))
+    }
+    val docsBig = spark.range(docN)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("id"), concat_ws(" ", wordCols: _*).as("text"))
+      .cache()
+    docsBig.count()
+    def time(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime(); val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    val sh64 = udf((text: String) => graft.Queries.simhash64(text))
+    val sims64 = docsBig.select(col("id"), sh64(col("text")).as("sim"))
+    val (t64, n64) = time(graft.join.SimilarityJoin.simhashHammingJoin(
+      sims64, k = 3, bits = 64, bands = 4, metricName = "p64").count())
+    Observed.drain(spark)
+    println(f"64-bit  k=3: $t64%.1f s pairs=$n64 cands=${observed.get("p64")}")
+    val sh128 = udf((text: String) => graft.Queries.simhash128(text))
+    val sims128 = docsBig.select(col("id"), sh128(col("text")).as("s"))
+      .select(col("id"), col("s")(0).as("lo"), col("s")(1).as("hi"))
+    val (t128, n128) = time(graft.join.SimilarityJoin.simhash128HammingJoin(
+      sims128, k = 7, metricName = "p128").count())
+    Observed.drain(spark)
+    println(f"128-bit k=7: $t128%.1f s pairs=$n128 cands=${observed.get("p128")}")
+    spark.stop()
+  }
+}

@@ -175,6 +175,17 @@ object ScaleSmoke {
       metricName = "smoke_ham_band_rows").count())
     Observed.drain(spark)
     val hamBand = observed.getOrDefault("smoke_ham_band_rows", -1L)
+    // the 128-bit rung at the same n: 8×16-bit bands (k ≤ 7) double the
+    // per-row band fanout, so on a near-uniform population the candidate
+    // count is ~2× the 4-band join's — the honest price of the wider
+    // reach; measured here so the trade stays a number, not a claim
+    val sh128 = udf((text: String) => graft.Queries.simhash128(text))
+    val sims128 = docsBig.select(col("id"), sh128(col("text")).as("s"))
+      .select(col("id"), col("s")(0).as("lo"), col("s")(1).as("hi"))
+    val (tHam128, nHam128) = time(graft.join.SimilarityJoin.simhash128HammingJoin(
+      sims128, k = 7, metricName = "smoke_ham128_band_rows").count())
+    Observed.drain(spark)
+    val ham128Band = observed.getOrDefault("smoke_ham128_band_rows", -1L)
     // top-k per domain: the bounded-state Aggregator vs the window
     // row_number form. Spark 3.5+'s WindowGroupLimit already bounds the
     // window's shuffle map-side for the rank-filter pattern, so the
@@ -414,6 +425,7 @@ object ScaleSmoke {
           f"""{"n":$ng,"eval_grams":$g,"bloom_bits_pow":$bp,"bloom_fill":$fill%.4f,"fpr_bound":$fpr%.2e,"sec":$tD%.2f,"contaminated":$nD,"cand_rows":$cand}"""
         }.mkString(",") + "]," +
         s""""simhash_hamming_join_${docN}_docs":{"sec":$tHam,"pairs":$nHam,"band_candidates":$hamBand,"docs_per_sec":${(docN / math.max(tHam, 1e-9)).toLong}},""" +
+        s""""simhash128_hamming_join_${docN}_docs":{"sec":$tHam128,"pairs":$nHam128,"band_candidates":$ham128Band,"docs_per_sec":${(docN / math.max(tHam128, 1e-9)).toLong}},""" +
         s""""connected_components_${n}_edges":{"sec":$tCc,"rounds":${ccRoundSecs.size},""" +
         s""""round_secs":[${ccRoundSecs.map(s => f"$s%.2f").mkString(",")}],""" +
         s""""peak_storage_delta_mb":${ccPeak / 1048576},"chain_collapsed":true},""" +
