@@ -74,14 +74,21 @@ object SimilarityJoin {
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .observe(metricName, count(lit(1)).as("rows")) // below the dedup exchange: executes once
-      .distinct()
+      .observe(metricName, count(lit(1)).as("rows"))
+    // dedup AFTER the refine, not before: per-band duplicate candidates
+    // cost only extra cheap popcount evaluations, while a pre-refine
+    // Distinct is a full exchange of the CANDIDATE table — the biggest
+    // intermediate in the whole join (225M rows at the 2M-doc smoke vs
+    // the qualifying-pair table it shrinks to). The hamming column is
+    // functionally determined by the pair, so the post-filter Distinct
+    // yields the identical unique-pair result.
     cand
       .join(s.select((col("id").as("id_a") +: simCols.map(c => col(c).as(s"__a_$c"))): _*), Seq("id_a"))
       .join(s.select((col("id").as("id_b") +: simCols.map(c => col(c).as(s"__b_$c"))): _*), Seq("id_b"))
       .withColumn("hamming", hamming(c => col(s"__a_$c"), c => col(s"__b_$c")))
       .filter(col("hamming") <= k)
       .select("id_a", "id_b", "hamming")
+      .distinct()
   }
 
   /** 128-bit EXACT Hamming join — the rung above [[simhashHammingJoin]]
