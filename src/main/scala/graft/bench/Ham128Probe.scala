@@ -10,22 +10,14 @@ import org.apache.spark.sql.functions._
 object Ham128Probe {
   def main(args: Array[String]): Unit = {
     val docN = if (args.nonEmpty) args(0).toLong else 2000000L
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val observed = Observed.register(spark)
-    val vocabArr = array((0 until 1000).map(i => lit(s"w$i")): _*)
-    val wordCols = (0 until 30).map { k =>
-      element_at(vocabArr,
-        (graft.ops.Sampling.mix32(col("id") * lit(31L) + lit(k.toLong))
-          % lit(1000L) + lit(1L)).cast("int"))
-    }
-    val docsBig = spark.range(docN)
-      .repartition(spark.sparkContext.defaultParallelism)
-      .select(col("id"), concat_ws(" ", wordCols: _*).as("text"))
-      .cache()
+    val docsBig = SmokeCorpus.docs(spark, docN).cache()
     docsBig.count()
     def time(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime(); val n = f
@@ -36,14 +28,14 @@ object Ham128Probe {
     val (t64, n64) = time(graft.join.SimilarityJoin.simhashHammingJoin(
       sims64, k = 3, bits = 64, bands = 4, metricName = "p64").count())
     Observed.drain(spark)
-    println(f"64-bit  k=3: $t64%.1f s pairs=$n64 cands=${observed.get("p64")}")
+    println(f"64-bit  k=3: $t64%.1f s pairs=$n64 cands=${observed.getOrDefault("p64", -1L)}")
     val sh128 = udf((text: String) => graft.Queries.simhash128(text))
     val sims128 = docsBig.select(col("id"), sh128(col("text")).as("s"))
       .select(col("id"), col("s")(0).as("lo"), col("s")(1).as("hi"))
     val (t128, n128) = time(graft.join.SimilarityJoin.simhash128HammingJoin(
       sims128, k = 7, metricName = "p128").count())
     Observed.drain(spark)
-    println(f"128-bit k=7: $t128%.1f s pairs=$n128 cands=${observed.get("p128")}")
+    println(f"128-bit k=7: $t128%.1f s pairs=$n128 cands=${observed.getOrDefault("p128", -1L)}")
     spark.stop()
   }
 }

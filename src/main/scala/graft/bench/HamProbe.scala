@@ -13,15 +13,7 @@ object HamProbe {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val vocabArr = array((0 until 1000).map(i => lit(s"w$i")): _*)
-    val wordCols = (0 until 30).map { k =>
-      element_at(vocabArr,
-        (graft.ops.Sampling.mix32(col("id") * lit(31L) + lit(k.toLong))
-          % lit(1000L) + lit(1L)).cast("int"))
-    }
-    val docsBig = spark.range(docN)
-      .repartition(spark.sparkContext.defaultParallelism)
-      .select(col("id"), concat_ws(" ", wordCols: _*).as("text"))
+    val docsBig = SmokeCorpus.docs(spark, docN)
     val sh64 = udf((text: String) => graft.Queries.simhash64(text))
     val sims = docsBig.select(col("id"), sh64(col("text")).as("sim")).localCheckpoint(true)
     (0 until 4).foreach { b =>

@@ -109,23 +109,9 @@ object ScaleSmoke {
     // quantiles, all on the same deterministic derivations the driver
     // gate uses at sf scale
     val docN = math.max(1L, n / 5) // 2M docs at the default 10M points
-    // 1000-word vocab with MIX-based selection: a linear (id·A + k·B)
-    // derivation collapses the corpus to ~1000 distinct 3-grams — every
-    // doc's grams form one arithmetic progression mod 1000 (measured:
-    // 100% of docs flagged contaminated; the HLL progression trap in
-    // text form). mix32(id·31 + k) equidistributes, giving a 10^9-gram
-    // space and a realistic sub-percent contamination rate.
-    val vocabArr = array((0 until 1000).map(i => lit(s"w$i")): _*)
-    val wordCols = (0 until 30).map { k =>
-      element_at(vocabArr,
-        (graft.ops.Sampling.mix32(col("id") * lit(31L) + lit(k.toLong))
-          % lit(1000L) + lit(1L)).cast("int"))
-    }
-    val docsBig = spark.range(docN)
-      .repartition(spark.sparkContext.defaultParallelism)
-      .select(col("id"), concat_ws(" ", wordCols: _*).as("text"),
-        (col("id") % 64).as("domain"))
-      .cache()
+    // the shared synthetic corpus (SmokeCorpus.docs — one definition for
+    // the smoke AND the standalone probes BASELINE.md cross-quotes)
+    val docsBig = SmokeCorpus.docs(spark, docN).cache()
     docsBig.count() // materialize outside the timers
     val observed = Observed.register(spark)
     val evalBig = docsBig.filter(col("id") % 1000 === 0)

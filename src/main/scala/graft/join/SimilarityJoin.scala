@@ -50,12 +50,14 @@ object SimilarityJoin {
 
   /** Shared banded-pigeonhole core of the exact Hamming joins: checkpoint
     * the fingerprint table once, explode to (id, band, 16-bit key) rows,
-    * equi-join on (band, key) with id_a < id_b, observe the pre-dedup
-    * candidate count, Distinct, then refine with the exact distance
-    * fetched from the checkpointed table. Parameterized over the word
-    * columns and the per-band key/distance expressions so one body serves
-    * every fingerprint width (32/64-bit single-long, 128-bit two-long,
-    * and the next rung for free). */
+    * equi-join on (band, key) with id_a < id_b, observe the candidate
+    * count, refine with the exact distance fetched from the checkpointed
+    * table, THEN Distinct — dedup runs on the qualifying pairs, never on
+    * the candidate table (the join's biggest intermediate; see the inline
+    * comment). Parameterized over the word columns and the per-band
+    * key/distance expressions so one body serves every fingerprint width
+    * (32/64-bit single-long, 128-bit two-long, and the next rung for
+    * free). */
   private def bandedHammingJoin(sims: DataFrame, simCols: Seq[String], nBands: Int,
       bandKey: Int => org.apache.spark.sql.Column,
       hamming: (String => org.apache.spark.sql.Column, String => org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
@@ -100,7 +102,7 @@ object SimilarityJoin {
     * Returns (id_a, id_b, hamming) for all pairs with
     * popcount(lo⊕lo′) + popcount(hi⊕hi′) ≤ k. Same plan shape as the
     * 64-bit join: band union → equi-join on (band, key) → observe →
-    * distinct → exact refine; candidates are PROVABLY complete. */
+    * exact refine → distinct; candidates are PROVABLY complete. */
   def simhash128HammingJoin(sims: DataFrame, k: Int,
                             metricName: String = "simhash128_join_band_rows"): DataFrame = {
     val bands = 8
