@@ -2324,6 +2324,22 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** DETERMINISTIC K-MEANS under the driver gate (ops/KMeans): 3 Lloyd
+    * steps over the embeddings on the +1-shifted integer lattice
+    * (quantize once, BIGINT everywhere — distances, argmin with
+    * smallest-cluster ties, integer-division centroid means, empty
+    * clusters keep their centroid), k = 8 seeded by the smallest ids.
+    * The oracle replays the SAME three steps as unrolled plain-SQL CTEs
+    * (assignment → per-dim integer means → next assignment), so any
+    * divergence in the update rule, tie policy, or quantization
+    * hash-fails the assignment table. */
+  def q87Kmeans(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
+    graft.ops.KMeans.fit(emb, "vec_id", "embedding", k = 8, iters = 3)
+      .orderBy("vec_id")
+  }
+
   /** NEAR-DUP DECONTAMINATION under the driver gate — the production
     * `NOT EXISTS a near-dup in the eval set` shape, written as the
     * NATURAL LeftAnti Hamming join and planned by the Semi/Anti arm of

@@ -106,6 +106,7 @@ object SparkEntry {
     "q84_decontam_neardup" -> (Queries.q84DecontamNeardup _),
     "q85_tfidf" -> (Queries.q85Tfidf _),
     "q86_simhash128_pairs" -> (Queries.q86Simhash128Pairs _),
+    "q87_kmeans" -> (Queries.q87Kmeans _),
   )
 
   // ---------------- oracle SQL ----------------
@@ -250,7 +251,41 @@ object SparkEntry {
        |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** q87's oracle: the SAME fixed Lloyd steps unrolled as plain CTEs —
+    * quantize once, then per step (assignment by integer squared
+    * distance with smallest-cluster ties → per-dim integer-division
+    * means, empty clusters keeping their previous centroid), and the
+    * final assignment emitted with its exact distance. */
+  private def kmeansSql(k: Int, iters: Int): String = {
+    val steps = (1 to iters).map { t =>
+      s"""d$t AS (SELECT qd.vec_id, c.cluster, sum((qd.val - c.val) * (qd.val - c.val)) AS dist
+         |  FROM qd JOIN c${t - 1} c ON qd.pos = c.pos GROUP BY 1, 2),
+         |a$t AS (SELECT vec_id, cluster FROM (SELECT vec_id, cluster,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cluster ASC) AS rn
+         |  FROM d$t) WHERE rn = 1),
+         |m$t AS (SELECT a.cluster, qd.pos, sum(qd.val) // count(*) AS val
+         |  FROM a$t a JOIN qd ON qd.vec_id = a.vec_id GROUP BY 1, 2),
+         |c$t AS (SELECT cluster, pos, val FROM m$t
+         |  UNION ALL SELECT c.cluster, c.pos, c.val FROM c${t - 1} c
+         |    WHERE c.cluster NOT IN (SELECT cluster FROM m$t))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor((CAST(x AS DOUBLE) + 1.0) * 1000000.0) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |qd AS (SELECT vec_id, i AS pos, qv[i] AS val
+       |  FROM q, (SELECT unnest(range(1, len((SELECT qv FROM q LIMIT 1)) + 1)) AS i) idx),
+       |c0 AS (SELECT CAST(vec_id AS BIGINT) AS cluster, pos, val FROM qd WHERE vec_id < $k),
+       |$steps,
+       |df AS (SELECT qd.vec_id, c.cluster, sum((qd.val - c.val) * (qd.val - c.val)) AS dist
+       |  FROM qd JOIN c$iters c ON qd.pos = c.pos GROUP BY 1, 2)
+       |SELECT vec_id, cluster, dist FROM (SELECT vec_id, cluster, dist,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cluster ASC) AS rn
+       |  FROM df) WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q87_kmeans" -> kmeansSql(8, 3),
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n_rows
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

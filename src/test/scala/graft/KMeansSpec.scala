@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of [[graft.ops.KMeans]] against an independent naive replay
+  * (plain Scala loops, same integer-lattice rules): assignments, ties to
+  * the smallest cluster, empty-cluster centroid retention, dist values.
+  * Gated end-to-end as q87 against the DuckDB oracle. */
+class KMeansSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** The rules of ops/KMeans re-implemented naively: quantize with
+    * floor((x+1)·10⁶), argmin with strict <, integer-division means,
+    * empty clusters keep centroids. */
+  private def replay(vecs: Seq[(Long, Array[Double])], k: Int, iters: Int)
+  : Map[Long, (Long, Long)] = {
+    val q = vecs.map { case (id, v) =>
+      (id, v.map(x => math.floor((x + 1.0) * 1000000.0).toLong))
+    }
+    var cents = q.filter(_._1 < k).sortBy(_._1).map(_._2.clone()).toArray
+    def assign(v: Array[Long]): (Int, Long) = {
+      var best = 0; var bd = Long.MaxValue
+      for (c <- cents.indices) {
+        var d = 0L
+        for (i <- v.indices) { val t = v(i) - cents(c)(i); d += t * t }
+        if (d < bd) { bd = d; best = c }
+      }
+      (best, bd)
+    }
+    for (_ <- 0 until iters) {
+      val members = q.groupBy(p => assign(p._2)._1)
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        members.get(c) match {
+          case Some(ms) =>
+            old.indices.map(i => ms.map(_._2(i)).sum / ms.size).toArray
+          case None => old
+        }
+      }
+    }
+    q.map { case (id, v) => val (c, d) = assign(v); (id, (c.toLong, d)) }.toMap
+  }
+
+  test("distributed Lloyd == naive replay, including ties and an empty cluster") {
+    import spark.implicits._
+    // ids 0..2 seed k=3; id 2 sits between the two dense blobs so its
+    // cluster empties once centroids move (retention rule exercised);
+    // ids 20/21 are EQUIDISTANT from the two final centroids in several
+    // iterations (tie → smaller cluster)
+    val vecs: Seq[(Long, Array[Double])] =
+      Seq[(Long, Array[Double])](
+        (0L, Array(0.0, 0.0)), (1L, Array(0.5, 0.5)), (2L, Array(0.26, 0.26)),
+        (10L, Array(0.01, 0.0)), (11L, Array(0.0, 0.02)), (12L, Array(-0.01, 0.01)),
+        (20L, Array(0.25, 0.25)), (21L, Array(0.25, 0.26)),
+        (30L, Array(0.5, 0.49)), (31L, Array(0.51, 0.5)), (32L, Array(0.49, 0.51)))
+    val df = vecs.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+    val got = graft.ops.KMeans.fit(df, "vec_id", "embedding", k = 3, iters = 3)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val want = replay(vecs, k = 3, iters = 3)
+    assert(got === want)
+    assert(got.values.map(_._1).toSet.size >= 2, "degenerate single-cluster result")
+    // the seeds' own assignments must carry exact distances
+    assert(got(0L)._2 >= 0L && got.values.forall(_._2 >= 0L))
+  }
+
+  test("iters = 0 is pure seeding; k > distinct ids fails loudly on no seeds") {
+    import spark.implicits._
+    val df = Seq((5L, Seq(0.1, 0.2)), (6L, Seq(0.3, 0.4))).toDF("vec_id", "embedding")
+    // no row has id < 1 → no seeds → loud failure, not empty output
+    intercept[IllegalArgumentException] {
+      graft.ops.KMeans.fit(df.filter($"vec_id" > 10), "vec_id", "embedding", 1, 1)
+    }
+    val seeded = Seq((0L, Seq(0.0, 0.0)), (1L, Seq(0.5, 0.5)), (2L, Seq(0.4, 0.4)))
+      .toDF("vec_id", "embedding")
+    val out = graft.ops.KMeans.fit(seeded, "vec_id", "embedding", k = 2, iters = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out === Map(0L -> 0L, 1L -> 1L, 2L -> 1L)) // nearest seed, no updates
+  }
+}
