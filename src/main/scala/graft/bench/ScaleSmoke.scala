@@ -172,6 +172,15 @@ object ScaleSmoke {
       sims128, k = 7, metricName = "smoke_ham128_band_rows").count())
     Observed.drain(spark)
     val ham128Band = observed.getOrDefault("smoke_ham128_band_rows", -1L)
+    // deterministic k-means at the same doc-scale tier (q87's 100× path):
+    // 3 Lloyd steps, each ONE pass over the vectors (assignment is a
+    // broadcast-centroid row-local UDF; update sums a k×dims aggregate)
+    val kmVecs = SmokeCorpus.vectors(spark, docN).cache()
+    kmVecs.count() // materialize outside the timer
+    val (tKm, nKmClusters) = time(graft.ops.KMeans.fit(
+      kmVecs, "vec_id", "embedding", k = 8, iters = 3)
+      .select("cluster").distinct().count())
+    kmVecs.unpersist()
     // top-k per domain: the bounded-state Aggregator vs the window
     // row_number form. Spark 3.5+'s WindowGroupLimit already bounds the
     // window's shuffle map-side for the rank-filter pattern, so the
@@ -412,6 +421,7 @@ object ScaleSmoke {
         }.mkString(",") + "]," +
         s""""simhash_hamming_join_${docN}_docs":{"sec":$tHam,"pairs":$nHam,"band_candidates":$hamBand,"docs_per_sec":${(docN / math.max(tHam, 1e-9)).toLong}},""" +
         s""""simhash128_hamming_join_${docN}_docs":{"sec":$tHam128,"pairs":$nHam128,"band_candidates":$ham128Band,"docs_per_sec":${(docN / math.max(tHam128, 1e-9)).toLong}},""" +
+        s""""kmeans_${docN}_vectors":{"sec":$tKm,"clusters":$nKmClusters,"vecs_per_sec":${(docN / math.max(tKm, 1e-9)).toLong}},""" +
         s""""connected_components_${n}_edges":{"sec":$tCc,"rounds":${ccRoundSecs.size},""" +
         s""""round_secs":[${ccRoundSecs.map(s => f"$s%.2f").mkString(",")}],""" +
         s""""peak_storage_delta_mb":${ccPeak / 1048576},"chain_collapsed":true},""" +

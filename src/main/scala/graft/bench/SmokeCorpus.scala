@@ -15,6 +15,19 @@ import org.apache.spark.sql.functions._
   * contamination rate. */
 object SmokeCorpus {
 
+  /** (vec_id, embedding: array<double>) — synthetic unit-range vectors,
+    * dims values in (−0.5, 0.5) derived per (id, dim) from the same mix
+    * family as the text corpus; uncached. */
+  def vectors(spark: SparkSession, n: Long, dims: Int = 64): DataFrame = {
+    val dimCols = (0 until dims).map { d =>
+      ((graft.ops.Sampling.mix32(col("id") * lit(131L) + lit(d.toLong))
+        % lit(1000000L)).cast("double") / lit(1000000.0) - lit(0.5))
+    }
+    spark.range(n)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("id").as("vec_id"), array(dimCols: _*).as("embedding"))
+  }
+
   /** (id, text, domain) — uncached; callers decide caching. */
   def docs(spark: SparkSession, docN: Long): DataFrame = {
     val vocabArr = array((0 until 1000).map(i => lit(s"w$i")): _*)
