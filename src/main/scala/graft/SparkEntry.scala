@@ -274,7 +274,9 @@ object SparkEntry {
        |  FROM embeddings),
        |qd AS (SELECT vec_id, i AS pos, qv[i] AS val
        |  FROM q, (SELECT unnest(range(1, len((SELECT qv FROM q LIMIT 1)) + 1)) AS i) idx),
-       |c0 AS (SELECT CAST(vec_id AS BIGINT) AS cluster, pos, val FROM qd WHERE vec_id < $k),
+       |seeds AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster
+       |  FROM (SELECT vec_id FROM q ORDER BY vec_id LIMIT $k)),
+       |c0 AS (SELECT s.cluster, qd.pos, qd.val FROM seeds s JOIN qd ON qd.vec_id = s.vec_id),
        |$steps,
        |df AS (SELECT qd.vec_id, c.cluster, sum((qd.val - c.val) * (qd.val - c.val)) AS dist
        |  FROM qd JOIN c$iters c ON qd.pos = c.pos GROUP BY 1, 2)

@@ -122,7 +122,7 @@ object SimilarityJoin {
     * (-1). The candidate corpus is template-heavy — most candidates fail,
     * and they fail after ~(n − oreq) mismatches instead of a full
     * hash-set intersection. */
-  private def primitiveLongs(s: Seq[Long]): Array[Long] = s match {
+  private[graft] def primitiveLongs(s: Seq[Long]): Array[Long] = s match {
     // catalyst hands primitive arrays as ArraySeq.ofLong — unwrap, or the
     // generic Seq.apply boxes every element of every candidate pair
     case a: scala.collection.immutable.ArraySeq.ofLong => a.unsafeArray

@@ -46,7 +46,7 @@ object ConnectedComponents {
     * checkpoint, so superseded label copies would otherwise sit in
     * block-manager storage until GC-driven cleanup — up to maxRounds full
     * label tables on a big graph. */
-  private def dropCheckpoint(df: DataFrame): Unit =
+  private[graft] def dropCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
       case _ => ()

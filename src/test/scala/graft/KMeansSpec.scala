@@ -23,7 +23,7 @@ class KMeansSpec extends AnyFunSuite {
     val q = vecs.map { case (id, v) =>
       (id, v.map(x => math.floor((x + 1.0) * 1000000.0).toLong))
     }
-    var cents = q.filter(_._1 < k).sortBy(_._1).map(_._2.clone()).toArray
+    var cents = q.sortBy(_._1).take(k).map(_._2.clone()).toArray
     def assign(v: Array[Long]): (Int, Long) = {
       var best = 0; var bd = Long.MaxValue
       for (c <- cents.indices) {
@@ -68,17 +68,25 @@ class KMeansSpec extends AnyFunSuite {
     assert(got(0L)._2 >= 0L && got.values.forall(_._2 >= 0L))
   }
 
-  test("iters = 0 is pure seeding; k > distinct ids fails loudly on no seeds") {
+  test("iters = 0 is pure seeding; fewer rows than k fails loudly; id gaps label densely") {
     import spark.implicits._
     val df = Seq((5L, Seq(0.1, 0.2)), (6L, Seq(0.3, 0.4))).toDF("vec_id", "embedding")
-    // no row has id < 1 → no seeds → loud failure, not empty output
+    // 2 rows cannot seed k = 3 → loud failure, not a silent 2-means
     intercept[IllegalArgumentException] {
-      graft.ops.KMeans.fit(df.filter($"vec_id" > 10), "vec_id", "embedding", 1, 1)
+      graft.ops.KMeans.fit(df, "vec_id", "embedding", k = 3, iters = 1)
     }
-    val seeded = Seq((0L, Seq(0.0, 0.0)), (1L, Seq(0.5, 0.5)), (2L, Seq(0.4, 0.4)))
+    // ids start at 100 with a gap: seeds = the two SMALLEST ids, clusters
+    // labeled 0/1 by position (dense), not by raw id
+    val gapped = Seq((100L, Seq(0.0, 0.0)), (205L, Seq(0.5, 0.5)), (300L, Seq(0.4, 0.4)))
       .toDF("vec_id", "embedding")
-    val out = graft.ops.KMeans.fit(seeded, "vec_id", "embedding", k = 2, iters = 0)
+    val out = graft.ops.KMeans.fit(gapped, "vec_id", "embedding", k = 2, iters = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    assert(out === Map(0L -> 0L, 1L -> 1L, 2L -> 1L)) // nearest seed, no updates
+    assert(out === Map(100L -> 0L, 205L -> 1L, 300L -> 1L)) // nearest seed, no updates
+    // out-of-range inputs (< -1) break the cross-engine division contract
+    // exactly where it matters — the update step — and must fail loudly
+    val bad = Seq((0L, Seq(-1.5, 0.0)), (1L, Seq(0.2, 0.2))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      graft.ops.KMeans.fit(bad, "vec_id", "embedding", k = 2, iters = 1)
+    }
   }
 }
