@@ -419,6 +419,46 @@ class StreamingSpec extends AnyFunSuite {
       expected.contains((src + 200000L, src))))
   }
 
+  test("streaming k-means assignment against a batch-fitted model matches batch assign") {
+    // the online-inference shape: fit on the static corpus (q87's model),
+    // then NEW vectors arrive as a stream and are scored row-locally
+    // against the broadcast centroids — no shuffle, no state, so the
+    // exact batch kernel runs unchanged under Structured Streaming
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val model = graft.ops.KMeans.fitCentroids(emb, "vec_id", "embedding", k = 8, iters = 3)
+
+    // arrivals: a perturbed subset (IEEE-exact same perturbation batch
+    // and stream), shifted ids, split over two micro-batch files
+    val arrivals = emb.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 500000L).as("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => x * lit(0.75) + lit(0.01)).as("embedding"))
+    val streamDir = java.nio.file.Files.createTempDirectory("kmeans_stream")
+    arrivals.filter(col("vec_id") % 2 === 0).write.mode("overwrite")
+      .parquet(streamDir.resolve("b0").toString)
+    arrivals.filter(col("vec_id") % 2 === 1).write.mode("overwrite")
+      .parquet(streamDir.resolve("b1").toString)
+    val stream = spark.readStream.schema(arrivals.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(streamDir.toString)
+
+    val q = graft.ops.KMeans.assign(stream, "vec_id", "embedding", model)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("kmeans_assign").start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val streamed = spark.table("kmeans_assign")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val batch = graft.ops.KMeans.assign(arrivals, "vec_id", "embedding", model)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty && streamed.map(_._2).distinct.size >= 2,
+      "degenerate single-cluster scoring")
+  }
+
   test("streaming decontamination vs a static eval bloom matches batch q69") {
     // the incremental-ingest decontamination shape: documents ARRIVE as a
     // stream; each micro-batch probes the SAME broadcast eval Bloom
