@@ -38,6 +38,10 @@ object KMeans {
 
   private def assignFn(cents: Array[Array[Long]]): Seq[Long] => (Long, Long) = { qv =>
     val v = graft.join.SimilarityJoin.primitiveLongs(qv)
+    if (v.length != cents(0).length)
+      throw new IllegalArgumentException(
+        s"kmeans: vector has ${v.length} dims but the model has ${cents(0).length} — " +
+          "a silent truncation would score plausible-but-wrong clusters")
     var best = 0; var bestD = Long.MaxValue
     var c = 0
     while (c < cents.length) {
@@ -57,10 +61,15 @@ object KMeans {
     * checkpointed for the iterations and dropped before returning. */
   def fitCentroids(emb: DataFrame, idCol: String, vecCol: String,
                    k: Int, iters: Int): Array[Array[Long]] = {
-    require(k >= 1 && iters >= 0, s"kmeans: need k >= 1, iters >= 0")
-    // quantized once, read iters+1 times — materialize
     val q = quantized(emb, idCol, vecCol).localCheckpoint(true)
-    try {
+    try fitOn(q, k, iters)
+    finally ConnectedComponents.dropCheckpoint(q)
+  }
+
+  /** The Lloyd loop over an ALREADY-materialized quantized table. */
+  private def fitOn(q: DataFrame, k: Int, iters: Int): Array[Array[Long]] = {
+    require(k >= 1 && iters >= 0, s"kmeans: need k >= 1, iters >= 0")
+    locally {
       var centroids: Array[Array[Long]] = q.orderBy("id").limit(k).collect()
         .map(r => graft.join.SimilarityJoin.primitiveLongs(r.getSeq[Long](1)))
       require(centroids.length == k,
@@ -94,7 +103,7 @@ object KMeans {
         t += 1
       }
       centroids
-    } finally ConnectedComponents.dropCheckpoint(q)
+    }
   }
 
   /** Row-local scoring of vectors against a FITTED model — quantize +
@@ -112,9 +121,22 @@ object KMeans {
       .select(col(idCol), col("r._1").as("cluster"), col("r._2").as("dist"))
   }
 
-  /** emb: (idCol, vecCol: array<float|double>). [[fitCentroids]] then
-    * [[assign]] over the same input — the batch gate shape (q87). */
+  /** emb: (idCol, vecCol: array<float|double>) — the batch gate shape
+    * (q87): fit AND final-assign over ONE checkpointed snapshot of the
+    * input (a non-deterministic source — sample(), generated ids — is
+    * quantized exactly once, so the model and the scored rows are the
+    * same population), output materialized, input blocks dropped. */
   def fit(emb: DataFrame, idCol: String, vecCol: String,
-          k: Int, iters: Int): DataFrame =
-    assign(emb, idCol, vecCol, fitCentroids(emb, idCol, vecCol, k, iters))
+          k: Int, iters: Int): DataFrame = {
+    val q = quantized(emb, idCol, vecCol).localCheckpoint(true)
+    val centroids = fitOn(q, k, iters)
+    val fu = udf(assignFn(centroids))
+    val out = q.select(col("id").as(idCol), fu(col("qv")).as("r"))
+      .select(col(idCol), col("r._1").as("cluster"), col("r._2").as("dist"))
+      .localCheckpoint(true)
+    // the output is materialized and self-contained — free the (dims×
+    // larger) quantized input blocks instead of leaking them to session end
+    ConnectedComponents.dropCheckpoint(q)
+    out
+  }
 }
