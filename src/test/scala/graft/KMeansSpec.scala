@@ -68,6 +68,31 @@ class KMeansSpec extends AnyFunSuite {
     assert(got(0L)._2 >= 0L && got.values.forall(_._2 >= 0L))
   }
 
+  test("determinism: same input fit twice under different partitionings is byte-identical") {
+    import spark.implicits._
+    // a corpus big enough that partial-agg order and partition boundaries
+    // genuinely differ across partitionings: 257 vectors, 8 dims, values
+    // derived by integer hashing (all within (-1, 1))
+    val vecs = (0L until 257L).map { id =>
+      (id, (0 until 8).map(d =>
+        (((id * 2654435761L + d * 40503L) % 1997L) - 998L) / 1000.0))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    def fitWith(parts: Int): Seq[(Long, Long, Long)] =
+      graft.ops.KMeans.fit(df.repartition(parts), "vec_id", "embedding",
+          k = 5, iters = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sortBy(_._1)
+    val a = fitWith(1)
+    val b = fitWith(7)
+    val c = fitWith(64) // more partitions than rows per partition boundary mix
+    assert(a === b)
+    assert(b === c)
+    // and a SECOND fit in the same session over the same partitioning is
+    // identical too (no run-order / cache-state dependence)
+    assert(fitWith(7) === b)
+  }
+
   test("iters = 0 is pure seeding; fewer rows than k fails loudly; id gaps label densely") {
     import spark.implicits._
     val df = Seq((5L, Seq(0.1, 0.2)), (6L, Seq(0.3, 0.4))).toDF("vec_id", "embedding")
