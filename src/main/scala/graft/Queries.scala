@@ -428,10 +428,18 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Compiled whitespace splitter for the row-local fingerprint kernels:
+    * `String.split("\\s+")` recompiles the pattern on EVERY call (the JDK
+    * fast path only covers single-char literals), which the per-row UDFs
+    * of q20/q61/q63/q76/q79/q84/q86 paid once per document. Semantics are
+    * identical — String.split delegates to Pattern.split. */
+  private val WS_SPLIT: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile("\\s+")
+
   /** SimHash (32-bit) over whitespace tokens with the 31-bit polynomial
     * token hash — integer-only, oracle-reproducible. */
   def simhash32(text: String): Long = {
-    val tokens = text.trim.split("\\s+")
+    val tokens = WS_SPLIT.split(text.trim)
     val acc = new Array[Int](32)
     tokens.foreach { tok =>
       var h = 0L
@@ -470,7 +478,7 @@ object Queries {
     * 99.7% of all pairs survived 4×8 banding. 4×16 bands give a
     * 65,536-value key space; same pigeonhole proof, same exact refine. */
   def simhash64(text: String): Long = {
-    val tokens = text.trim.split("\\s+")
+    val tokens = WS_SPLIT.split(text.trim)
     val acc = new Array[Int](64)
     tokens.foreach { tok =>
       var v = 0L
@@ -504,7 +512,7 @@ object Queries {
     * (m1 from the xxhash32/murmur2 families, m2 < 2²⁶ so the SQL
     * mirror's products stay inside BIGINT, same proof as HllAgg.mix). */
   def simhash128(text: String): Array[Long] = {
-    val tokens = text.trim.split("\\s+")
+    val tokens = WS_SPLIT.split(text.trim)
     val acc = new Array[Int](128)
     tokens.foreach { tok =>
       var v = 0L

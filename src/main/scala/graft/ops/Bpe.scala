@@ -62,10 +62,16 @@ object Bpe {
     (head ++ gen.filterNot(head.contains)).take(200)
   }
 
+  private val WS_SPLIT: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile("\\s+")
+
   /** Apply `merges` to one word; returns the marked symbol string
     * ("|th|e|re"). Exposed for specs; count via [[tokenCount]]. */
   def encodeWord(word: String, merges: Seq[(String, String)] = MERGES): String = {
-    var s = word.flatMap(c => s"|$c")
+    val sb = new java.lang.StringBuilder(word.length * 2)
+    var i = 0
+    while (i < word.length) { sb.append('|').append(word.charAt(i)); i += 1 }
+    var s = sb.toString
     merges.foreach { case (a, b) => s = s.replace(s"|$a|$b", s"|$a$b") }
     s
   }
@@ -73,5 +79,5 @@ object Bpe {
   /** BPE token count of a whitespace-tokenized text: sum of per-word
     * symbol counts after the merge chain. */
   def tokenCount(text: String, merges: Seq[(String, String)] = MERGES): Long =
-    text.trim.split("\\s+").map(w => encodeWord(w, merges).count(_ == '|').toLong).sum
+    WS_SPLIT.split(text.trim).map(w => encodeWord(w, merges).count(_ == '|').toLong).sum
 }

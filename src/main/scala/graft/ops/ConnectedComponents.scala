@@ -75,12 +75,21 @@ object ConnectedComponents {
     var converged = false
     while (round < maxRounds && !converged) {
       val roundT0 = System.nanoTime()
-      // min neighbor label per vertex
-      val nbrMin = sym.join(labels, sym("src") === labels("id"))
-        .groupBy(col("dst").as("nid")).agg(min("component").as("nmin"))
-      val stepped = labels.join(nbrMin, labels("id") === col("nid"), "left")
-        .select(col("id"), col("component"),
-          least(col("component"), coalesce(col("nmin"), col("component"))).as("c"))
+      // min over {own label} ∪ {neighbors' labels} in ONE aggregation: the
+      // self row rides the same groupBy (every vertex has exactly one, so
+      // max-ignoring-nulls recovers the old label for the changed count) —
+      // this fuses the former nbrMin groupBy + left-join-back into a single
+      // exchange of (neighbor rows + |V| self rows), removing a join and an
+      // exchange of the label table from every round.
+      val nbrRows = sym.join(labels, sym("src") === labels("id"))
+        .select(col("dst").as("id"), col("component").as("lab"),
+          lit(null).cast("long").as("own"))
+      val selfRows = labels.select(col("id"), col("component").as("lab"),
+        col("component").as("own"))
+      val stepped = selfRows.unionByName(nbrRows)
+        .groupBy("id")
+        .agg(min("lab").as("c"), max("own").as("component"))
+        .select(col("id"), col("component"), col("c"))
       // pointer jumping: follow the label table JUMPS times (component is
       // a vertex id, so it has a row in `labels`); per-jump column names
       // keep the repeated self-joins unambiguous
