@@ -2019,9 +2019,12 @@ object Queries {
 
   /** EXACT distributed quantiles under the driver gate — histogram
     * bisection (graft.ops.Quantiles), NO global sort. The value domain
-    * is a 1e8-wide signed derivation of event_id (negatives included),
-    * and fanout 16 forces ~7 bisection levels, so every level's
-    * range-narrowing arithmetic is exercised. Quantiles are rationals;
+    * is a 1e8-wide signed derivation of event_id (negatives included);
+    * at the operator's default fanout (4096) it resolves in 3 bisection
+    * levels — 3 input scans instead of the 7 that the gate's original
+    * fanout=16 paid (the result is fanout-invariant, and the
+    * range-narrowing arithmetic across fanouts 2..64 stays exercised by
+    * CurationOpsSpec's multi-level cases). Quantiles are rationals;
     * the rank is ceil(n·num/den) in integer arithmetic on both engines.
     * The oracle is the definition itself: row_number over a full sort,
     * joined at the target ranks — if any level miscounts a bucket, the
@@ -2030,8 +2033,7 @@ object Queries {
     val v = spark.read.parquet(s"$dir/events.parquet")
       .select((col("event_id") * 2654435761L % 100000000L - 50000000L).as("v"))
     graft.ops.Quantiles.exactQuantiles(v, "v",
-      Seq((1L, 100L), (1L, 4L), (1L, 2L), (3L, 4L), (99L, 100L), (1L, 1L)),
-      fanout = 16)
+      Seq((1L, 100L), (1L, 4L), (1L, 2L), (3L, 4L), (99L, 100L), (1L, 1L)))
       .orderBy("rank", "q_num", "q_den")
   }
 

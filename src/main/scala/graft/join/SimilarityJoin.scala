@@ -69,24 +69,39 @@ object SimilarityJoin {
     // result can't drop them itself — callers running MANY joins per
     // session own that hygiene; cf. ConnectedComponents.dropCheckpoint).
     val s = sims.select((col("id") +: simCols.map(col)): _*).localCheckpoint(true)
+    // the fingerprint words RIDE the band rows (8-16 bytes each, on a
+    // table of n×bands rows) instead of being fetched back by id joins:
+    // the former two fetch joins each EXCHANGED the candidate table — the
+    // biggest intermediate in the whole join (225M rows at the 2M-doc
+    // smoke) — twice, by id_a then id_b; carried words let the exact
+    // refine run map-side in the same stage as the band equi-join, so the
+    // candidate table is never exchanged at all.
     val banded = (0 until nBands).map { b =>
-      s.select(col("id"), lit(b).as("band"), bandKey(b).as("bkey"))
+      s.select((col("id") +: lit(b).as("band") +: bandKey(b).as("bkey") +:
+        simCols.map(col)): _*)
     }.reduce(_ unionByName _)
+    // no explicit repartition here: at gate scale the planner broadcasts
+    // one banded side (BHJ — zero exchanges), and the probe side inherits
+    // the checkpoint's parallel partitions, so the candidate enumeration +
+    // popcount refine is already spread; a pinned REPARTITION_BY_NUM was
+    // measured STRICTLY slower on both the 4-band and 8-band shapes
+    // (interleaved A/B, min-of-4: 0.66 vs 1.40 s and 3.43 vs 4.28 s at
+    // sf0.1). At sizes past the broadcast threshold the join's own
+    // ENSURE_REQUIREMENTS exchanges partition by (band, bkey) and AQE
+    // sizes the partitions to the data.
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .select((col("a.id").as("id_a") +: col("b.id").as("id_b") +:
+        (simCols.map(c => col(s"a.$c").as(s"__a_$c")) ++
+         simCols.map(c => col(s"b.$c").as(s"__b_$c")))): _*)
       .observe(metricName, count(lit(1)).as("rows"))
     // dedup AFTER the refine, not before: per-band duplicate candidates
     // cost only extra cheap popcount evaluations, while a pre-refine
-    // Distinct is a full exchange of the CANDIDATE table — the biggest
-    // intermediate in the whole join (225M rows at the 2M-doc smoke vs
-    // the qualifying-pair table it shrinks to). The hamming column is
-    // functionally determined by the pair, so the post-filter Distinct
-    // yields the identical unique-pair result.
+    // Distinct is a full exchange of the CANDIDATE table. The hamming
+    // column is functionally determined by the pair, so the post-filter
+    // Distinct yields the identical unique-pair result.
     cand
-      .join(s.select((col("id").as("id_a") +: simCols.map(c => col(c).as(s"__a_$c"))): _*), Seq("id_a"))
-      .join(s.select((col("id").as("id_b") +: simCols.map(c => col(c).as(s"__b_$c"))): _*), Seq("id_b"))
       .withColumn("hamming", hamming(c => col(s"__a_$c"), c => col(s"__b_$c")))
       .filter(col("hamming") <= k)
       .select("id_a", "id_b", "hamming")
@@ -179,10 +194,17 @@ object SimilarityJoin {
     // prefix length n − ⌈τ·n⌉ + 1 (⌈a/b⌉ = (a+b−1) div b, all integer)
     val ceilTauN = ((col("nsh") * tauNum + tauDen - 1) / tauDen).cast("int")
     val wOrd = Window.partitionBy("id").orderBy(col("__cnt").asc, col("sh").asc)
+    // materialized once (eager): the prefix index feeds BOTH sides of the
+    // candidate self-join, and the un-materialized plan re-ran the whole
+    // explode → frequency join → rank window chain per side (measured 2×
+    // ~0.9 s at sf0.1). The prefix table is a strict subset of the
+    // exploded index (≤ n−⌈τn⌉+1 rows per set), so pinning it costs less
+    // than one of the two passes it replaces.
     val prefix = ex.join(freq, Seq("sh"))
       .withColumn("__rk", row_number().over(wOrd))
       .filter(col("__rk") <= col("nsh") - ceilTauN + 1)
       .select("id", "nsh", "__rk", "sh")
+      .localCheckpoint(true)
     // Spark `/` is DOUBLE division — floor explicitly, or the ceil becomes
     // the raw quotient and the positional filter turns stricter than the
     // completeness proof allows
@@ -197,6 +219,14 @@ object SimilarityJoin {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .observe("jaccard_join_hit_rows", count(lit(1)).as("rows")) // below the dedup exchange: executes once
       .distinct()
+      // spread the deduped pairs BEFORE the exact refine: the candidate
+      // table is a few MB of id pairs, so AQE coalesces the dedup exchange
+      // to one partition — and then the two-pointer intersection UDF (the
+      // expensive part of the whole join) runs single-threaded (measured
+      // ~4 s of the ~5 s total at sf0.1). An explicit round-robin exchange
+      // of the narrow pair table is noise next to the refine CPU it
+      // parallelizes, at every scale.
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
     cand
       .join(ds.select(col("id").as("id_a"), col("shs").as("__A"), col("nsh").as("__na")), Seq("id_a"))
       .join(ds.select(col("id").as("id_b"), col("shs").as("__B"), col("nsh").as("__nb")), Seq("id_b"))
