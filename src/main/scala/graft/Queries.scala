@@ -407,24 +407,29 @@ object Queries {
     val sigs = sigCache.getOrElseUpdate(
       s"${org.apache.spark.sql.graft.bridge.sessionUUID(spark)}|$dir",
       q18MinhashSig(spark, dir).cache())
+    // the 8 signature columns RIDE the band rows (64 bytes on a 2n-row
+    // table) instead of being fetched back by two id equi-joins — the
+    // same carried-payload shape as the banded hamming core: the
+    // agreement count is computed in the band-join stage and the
+    // candidate pair table is never exchanged for a payload fetch.
+    // n_agree is functionally determined by the pair, so the post-count
+    // Distinct yields the identical unique-pair result.
+    val mcols = (0 until 8).map(i => s"m$i")
     val bands = (0 until 2).map { b =>
-      sigs.select(col("doc_id"),
-        lit(b).as("band"),
+      sigs.select((col("doc_id") +:
+        lit(b).as("band") +:
         concat_ws(":", col(s"m${4 * b}"), col(s"m${4 * b + 1}"),
-          col(s"m${4 * b + 2}"), col(s"m${4 * b + 3}")).as("bkey"))
+          col(s"m${4 * b + 2}"), col(s"m${4 * b + 3}")).as("bkey") +:
+        mcols.map(col)): _*)
     }.reduce(_ union _)
-    val cand = bands.as("a").join(bands.as("b"),
+    val agree = (0 until 8).map(i =>
+      when(col(s"a.m$i") === col(s"b.m$i"), 1).otherwise(0)).reduce(_ + _)
+    bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        agree.as("n_agree"))
       .distinct()
-    val a = sigs.toDF(sigs.columns.map(c => s"a_$c").toIndexedSeq: _*)
-    val b = sigs.toDF(sigs.columns.map(c => s"b_$c").toIndexedSeq: _*)
-    val agree = (0 until 8).map(i =>
-      when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0)).reduce(_ + _)
-    cand.join(a, col("id_a") === col("a_doc_id"))
-      .join(b, col("id_b") === col("b_doc_id"))
-      .select(col("id_a"), col("id_b"), agree.as("n_agree"))
       .orderBy("id_a", "id_b")
   }
 
