@@ -98,21 +98,48 @@ object H3 {
   }
 
   /** Children at childRes in digit order (0..6; pentagons skip digit 1 on
-    * their center-child chain). */
+    * their center-child chain). Iterative level expansion into primitive
+    * arrays — the recursive flatMap form allocated ~n boxed Seqs per call
+    * and dominated the q37/q55 kernels' allocation rate under concurrent
+    * tasks; the emission order (depth-first digit order) is preserved
+    * because per-level expansion in slot order IS the DFS leaf order. */
   def cellToChildren(cell: Long, childRes: Int): Seq[Long] = {
     val res = resolution(cell)
     require(childRes > res && childRes <= 15, s"invalid child res $childRes for res $res")
     val isPent = isPentagon(cell)
-    def expand(c: Long, r: Int): Seq[Long] =
-      if (r == childRes) Seq(c)
-      else {
-        val base = withResolution(c, r + 1)
-        val digits =
-          if (isPent && isCenterChain(c, r)) Seq(0, 2, 3, 4, 5, 6)
-          else 0 to 6
-        digits.flatMap(d => expand(withDigit(base, r + 1, d), r + 1))
+    var cur = Array(cell)
+    // center-chain flags ride along only for pentagons (digit-1 skip)
+    var chain: Array[Boolean] = if (isPent) Array(true) else null
+    var r = res
+    while (r < childRes) {
+      var total = 0
+      if (isPent) {
+        var i = 0
+        while (i < cur.length) { total += (if (chain(i)) 6 else 7); i += 1 }
+      } else total = cur.length * 7
+      val next = new Array[Long](total)
+      val nextChain: Array[Boolean] = if (isPent) new Array[Boolean](total) else null
+      var o = 0
+      var i = 0
+      while (i < cur.length) {
+        val base = withResolution(cur(i), r + 1)
+        val skip1 = isPent && chain(i)
+        var d = 0
+        while (d <= 6) {
+          if (!(skip1 && d == 1)) {
+            next(o) = withDigit(base, r + 1, d)
+            if (isPent) nextChain(o) = chain(i) && d == 0
+            o += 1
+          }
+          d += 1
+        }
+        i += 1
       }
-    expand(cell, res)
+      cur = next
+      if (isPent) chain = nextChain
+      r += 1
+    }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(cur)
   }
 
   /** True if every digit of `cell` up to res r is 0 (pentagon center chain). */

@@ -198,27 +198,63 @@ object H3Cover {
   }
 
   /** H3 compaction: replace every complete sibling set (7 children; 6 for a
-    * pentagon parent) by its parent, repeatedly. Pure bit ops. */
+    * pentagon parent) by its parent, repeatedly. Pure bit ops.
+    *
+    * Level-descending scan: cells are bucketed by resolution and each
+    * level is sorted so that siblings (same parent prefix, one differing
+    * digit) are ADJACENT — complete runs merge into the next level down,
+    * where they may cascade. Complete sibling sets are disjoint, so the
+    * maximal compaction is a unique fixpoint and level order reaches the
+    * same result as the previous iterate-until-unchanged groupBy — at a
+    * fraction of the allocations (the old Set/Map churn was 78% of the
+    * q37 kernel's 27 µs/row and GC-amplified under 32 concurrent tasks). */
   def compact(cells: Set[Long]): Set[Long] = {
-    var cur = cells
-    var changed = true
-    while (changed) {
-      changed = false
-      val candidates = cur.filter(c => H3.resolution(c) > 0).groupBy(c =>
-        H3.cellToParent(c, H3.resolution(c) - 1))
-      val next = scala.collection.mutable.Set[Long]()
-      next ++= cur
-      candidates.foreach { case (parent, kids) =>
-        val want = if (H3.isPentagon(parent)) 6 else 7
-        if (kids.size == want) {
-          next --= kids
-          next += parent
-          changed = true
+    if (cells.isEmpty) return cells
+    val byRes = new Array[scala.collection.mutable.ArrayBuffer[Long]](16)
+    var maxRes = 0
+    cells.foreach { c =>
+      val r = H3.resolution(c)
+      if (byRes(r) == null) byRes(r) = new scala.collection.mutable.ArrayBuffer[Long]
+      byRes(r) += c
+      if (r > maxRes) maxRes = r
+    }
+    val out = Set.newBuilder[Long]
+    var r = maxRes
+    while (r > 0) {
+      val pool = byRes(r)
+      if (pool != null && pool.nonEmpty) {
+        val arr = pool.toArray
+        java.util.Arrays.sort(arr) // valid cells have bit 63 clear: signed == unsigned order
+        // dedupe in place: an input that contains BOTH a parent and all its
+        // children re-adds the parent on merge; the old Set semantics kept
+        // one copy, and a duplicate would inflate a sibling-run count
+        var m = 0
+        var t = 0
+        while (t < arr.length) {
+          if (m == 0 || arr(t) != arr(m - 1)) { arr(m) = arr(t); m += 1 }
+          t += 1
+        }
+        var i = 0
+        while (i < m) {
+          val parent = H3.cellToParent(arr(i), r - 1)
+          var j = i + 1
+          while (j < m && H3.cellToParent(arr(j), r - 1) == parent) j += 1
+          val want = if (H3.isPentagon(parent)) 6 else 7
+          if (j - i == want) {
+            if (byRes(r - 1) == null)
+              byRes(r - 1) = new scala.collection.mutable.ArrayBuffer[Long]
+            byRes(r - 1) += parent
+          } else {
+            var k = i
+            while (k < j) { out += arr(k); k += 1 }
+          }
+          i = j
         }
       }
-      cur = next.toSet
+      r -= 1
     }
-    cur
+    if (byRes(0) != null) byRes(0).foreach(out += _)
+    out.result()
   }
 
   /** Deterministic emission order for set-valued results. */
