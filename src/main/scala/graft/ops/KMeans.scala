@@ -61,7 +61,10 @@ object KMeans {
     * checkpointed for the iterations and dropped before returning. */
   def fitCentroids(emb: DataFrame, idCol: String, vecCol: String,
                    k: Int, iters: Int): Array[Array[Long]] = {
-    val q = quantized(emb, idCol, vecCol).localCheckpoint(true)
+    // lazy checkpoint: the seed scan (fitOn's first action — TakeOrdered
+    // computes every partition) materializes the blocks, saving the
+    // dedicated materialization job an eager checkpoint would run first
+    val q = quantized(emb, idCol, vecCol).localCheckpoint(false)
     try fitOn(q, k, iters)
     finally ConnectedComponents.dropCheckpoint(q)
   }
@@ -128,7 +131,8 @@ object KMeans {
     * same population), output materialized, input blocks dropped. */
   def fit(emb: DataFrame, idCol: String, vecCol: String,
           k: Int, iters: Int): DataFrame = {
-    val q = quantized(emb, idCol, vecCol).localCheckpoint(true)
+    // lazy checkpoint — materialized under the seed scan (see fitCentroids)
+    val q = quantized(emb, idCol, vecCol).localCheckpoint(false)
     val centroids = fitOn(q, k, iters)
     val fu = udf(assignFn(centroids))
     val out = q.select(col("id").as(idCol), fu(col("qv")).as("r"))
