@@ -81,9 +81,18 @@ object ConnectedComponents {
       // this fuses the former nbrMin groupBy + left-join-back into a single
       // exchange of (neighbor rows + |V| self rows), removing a join and an
       // exchange of the label table from every round.
-      val nbrRows = sym.join(labels, sym("src") === labels("id"))
-        .select(col("dst").as("id"), col("component").as("lab"),
-          lit(null).cast("long").as("own"))
+      // Round 1 runs against IDENTITY labels (component == id): a
+      // neighbor's label IS its id, so the label join is skipped and the
+      // neighbor rows come straight from the edge list; likewise the
+      // pointer jump below is the identity map and is skipped.
+      val nbrRows =
+        if (round == 0)
+          sym.select(col("dst").as("id"), col("src").as("lab"),
+            lit(null).cast("long").as("own"))
+        else
+          sym.join(labels, sym("src") === labels("id"))
+            .select(col("dst").as("id"), col("component").as("lab"),
+              lit(null).cast("long").as("own"))
       val selfRows = labels.select(col("id"), col("component").as("lab"),
         col("component").as("own"))
       val stepped = selfRows.unionByName(nbrRows)
@@ -91,14 +100,22 @@ object ConnectedComponents {
         .agg(min("lab").as("c"), max("own").as("component"))
         .select(col("id"), col("component"), col("c"))
       // pointer jumping: follow the label table JUMPS times (component is
-      // a vertex id, so it has a row in `labels`); per-jump column names
-      // keep the repeated self-joins unambiguous
-      val jumped = (1 to JUMPS).foldLeft(stepped) { (cur, j) =>
-        val ptr = labels.select(col("id").as(s"pid$j"), col("component").as(s"pcomp$j"))
-        cur.join(ptr, cur("c") === col(s"pid$j"), "left")
-          .select(col("id"), col("component"),
-            least(col("c"), coalesce(col(s"pcomp$j"), col("c"))).as("c"))
-      }
+      // a vertex id, so it has a row in `labels`). The build side stays
+      // the RAW labels plan — canonically identical to the neighbor join's
+      // build subtree, so when the planner broadcasts the label table the
+      // per-round broadcast is built ONCE and reused by both joins (the
+      // former pointer-side aliasing broke canonical equality and built it
+      // twice per round). The stream side is aliased instead, which also
+      // keeps the self-lineage attributes unambiguous.
+      val jumped =
+        if (round == 0) stepped // identity pointer table: the jump is a no-op
+        else (1 to JUMPS).foldLeft(stepped) { (cur, j) =>
+          cur.as("cur").join(labels.as(s"ptr$j"),
+              col("cur.c") === col(s"ptr$j.id"), "left")
+            .select(col("cur.id").as("id"), col("cur.component").as("component"),
+              least(col("cur.c"),
+                coalesce(col(s"ptr$j.component"), col("cur.c"))).as("c"))
+        }
       // ONE job materializes the round AND counts convergence: the lazy
       // checkpoint persists its blocks under the count() action (an eager
       // checkpoint plus a separate count would run the blocks twice, and
