@@ -18,13 +18,26 @@ object Queries {
 
   // -- shared derived-point table (mirror of OracleSql.PTS_CTE) --
   // The events file is single-digit MB even at sf0.1 — one scan split —
-  // while consumers run per-row geometry/format kernels, so fan the rows
-  // out to every core first. (At 100 TB the scan has thousands of splits
-  // and this repartition of an already-tiny stage is noise.)
+  // so consumers that run EXPENSIVE per-row geometry/format kernels
+  // (JTS predicates, H3 coverings, WKT/GeoJSON writers: ≥ µs/row) fan
+  // the rows out to every core first via `pts`. Consumers whose per-row
+  // work is a handful of codegen'd arithmetic ops take `ptsNarrow`: the
+  // fan-out exchange costs ~0.4 s at bench scale (measured, interleaved
+  // A/B in bench.RepartProbe) while their whole serial kernel is < 50 ms
+  // — and at 100 TB that repartition is a full-table shuffle ahead of a
+  // map, pure waste at every scale for cheap kernels.
   def pts(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/events.parquet")
-      .repartition(spark.sparkContext.defaultParallelism)
-      .select(
+    ptsFrom(spark.read.parquet(s"$dir/events.parquet")
+      .repartition(spark.sparkContext.defaultParallelism))
+
+  /** As [[pts]] without the fan-out exchange — for column-native/cheap
+    * per-row consumers where the repartition costs more than the compute
+    * it would parallelize (at any scale). */
+  def ptsNarrow(spark: SparkSession, dir: String): DataFrame =
+    ptsFrom(spark.read.parquet(s"$dir/events.parquet"))
+
+  private def ptsFrom(raw: DataFrame): DataFrame =
+    raw.select(
       col("event_id").as("id"),
       (lit(-90.0) + lit(180.0) *
         (((col("event_id") * lit(2654435761L)) % lit(4294967296L)) / lit(4294967296.0))).as("lat"),
@@ -66,7 +79,7 @@ object Queries {
 
   /** gh point: cell encode at precision 5 (reference `gh point <level>`). */
   def q02GhEncode(spark: SparkSession, dir: String): DataFrame =
-    pts(spark, dir)
+    ptsNarrow(spark, dir)
       .withColumn("gh", ghCol2(5)(lonIdxCol(5), latIdxCol(5)))
       .select("id", "gh").orderBy("id")
 
@@ -78,7 +91,7 @@ object Queries {
     * as the ghCol2 encode mirror. */
   def q03GhChildren(spark: SparkSession, dir: String): DataFrame = {
     val suffixes = "0123456789bcdefghjkmnpqrstuvwxyz".map(c => lit(c.toString))
-    pts(spark, dir)
+    ptsNarrow(spark, dir)
       .withColumn("gh", ghCol2(3)(lonIdxCol(3), latIdxCol(3)))
       .select("gh").distinct()
       .withColumn("c", explode(array(suffixes: _*)))
@@ -109,7 +122,7 @@ object Queries {
   /** Tile assignment + per-tile counts (covering of a point = its cell;
     * reference `gh covering` + tiling). */
   def q05TileCounts(spark: SparkSession, dir: String): DataFrame =
-    pts(spark, dir)
+    ptsNarrow(spark, dir)
       .withColumn("tile", ghCol2(3)(lonIdxCol(3), latIdxCol(3)))
       .groupBy("tile").agg(count(lit(1)).as("n_points"))
       .orderBy("tile")
@@ -143,7 +156,7 @@ object Queries {
   def q08Dwithin(spark: SparkSession, dir: String): DataFrame = {
     val hit = udf((lon: Double, lat: Double) =>
       Vincenty.distanceFixed(lon, lat, DW_LON, DW_LAT) < DW_RADIUS)
-    pts(spark, dir).filter(hit(col("lon"), col("lat"))).select("id").orderBy("id")
+    ptsNarrow(spark, dir).filter(hit(col("lon"), col("lat"))).select("id").orderBy("id")
   }
 
   /** measure distance: whole meters to the LA query point. */
@@ -157,7 +170,7 @@ object Queries {
 
   /** bbox --all: 4-way min/max aggregation. */
   def q10BboxAll(spark: SparkSession, dir: String): DataFrame =
-    pts(spark, dir).agg(
+    ptsNarrow(spark, dir).agg(
       min("lon").as("minx"), min("lat").as("miny"),
       max("lon").as("maxx"), max("lat").as("maxy"))
 
@@ -166,7 +179,7 @@ object Queries {
     * order. */
   def q11Hilbert(spark: SparkSession, dir: String): DataFrame = {
     val h = udf((x: Long, y: Long) => Hilbert.hilbertUnsigned(x.toInt, y.toInt))
-    pts(spark, dir)
+    ptsNarrow(spark, dir)
       .withColumn("x", floor((lit(65535.0) * (col("lon") - lit(-180.0))) / lit(360.0)))
       .withColumn("y", floor((lit(65535.0) * (col("lat") - lit(-90.0))) / lit(180.0)))
       .withColumn("h", h(col("x"), col("y")))
@@ -177,7 +190,7 @@ object Queries {
     * can string-build the exact same text). */
   def q12WktPoint(spark: SparkSession, dir: String): DataFrame = {
     val wkt = udf((lonI: Long, latI: Long) => Geo.toWkt(Geo.point(lonI.toDouble, latI.toDouble)))
-    pts(spark, dir)
+    ptsNarrow(spark, dir)
       .withColumn("loni", col("id") % 360 - 180)
       .withColumn("lati", col("id") % 180 - 90)
       .withColumn("wkt", wkt(col("loni"), col("lati")))
@@ -188,7 +201,7 @@ object Queries {
   def q13GjPoint(spark: SparkSession, dir: String): DataFrame = {
     val gj = udf((lonI: Long, latI: Long) =>
       Geo.geometryJsonString(Geo.point(lonI.toDouble, latI.toDouble)))
-    pts(spark, dir)
+    ptsNarrow(spark, dir)
       .withColumn("loni", col("id") % 360 - 180)
       .withColumn("lati", col("id") % 180 - 90)
       .withColumn("gj", gj(col("loni"), col("lati")))
@@ -201,15 +214,23 @@ object Queries {
     spark.read.parquet(s"$dir/documents.parquet")
       .repartition(spark.sparkContext.defaultParallelism)
 
+  /** As [[docs]] without the fan-out exchange — same rule as
+    * [[ptsNarrow]]: for consumers whose per-row work (built-in string
+    * functions, hash arithmetic) is far cheaper than the exchange. The
+    * heavy per-doc kernels (BPE, redaction regex chains, fingerprints
+    * feeding banded joins) keep the fan-out. */
+  def docsNarrow(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
   /** Whitespace token counting. */
   def q14TokenCount(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
+    docsNarrow(spark, dir)
       .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).as("n_tokens"))
       .orderBy("doc_id")
 
   /** Quality stats: integer char-class counts + integer-threshold flag. */
   def q15TextStats(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir).select(
+    docsNarrow(spark, dir).select(
       col("doc_id"),
       length(col("text")).as("n_chars"),
       length(regexp_replace(col("text"), "[^A-Za-z]", "")).as("n_alpha"),
@@ -235,7 +256,7 @@ object Queries {
       markers.map { m =>
         (length(padded) - length(call_function("replace", padded, lit(m)))) / lit(m.length)
       }.reduce(_ + _)
-    val withScores = LANG_MARKERS.foldLeft(docs(spark, dir)) { case (df, (lang, ms)) =>
+    val withScores = LANG_MARKERS.foldLeft(docsNarrow(spark, dir)) { case (df, (lang, ms)) =>
       df.withColumn(s"s_$lang", score(ms))
     }
     val pred = when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") && col("s_en") >= col("s_es"), "en")
@@ -248,7 +269,7 @@ object Queries {
 
   /** Exact dedup on a 32-char prefix key: hash-groupBy, keeper = min id. */
   def q17DedupExact(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
+    docsNarrow(spark, dir)
       .select(col("doc_id"), md5(substring(col("text"), 1, 32)).as("k"))
       .groupBy("k")
       .agg(count(lit(1)).as("n_dups"), min("doc_id").as("keeper"))
@@ -549,14 +570,14 @@ object Queries {
 
   def q20Simhash(spark: SparkSession, dir: String): DataFrame = {
     val sh = udf((text: String) => simhash32(text))
-    docs(spark, dir).select(col("doc_id"), sh(col("text")).as("simhash")).orderBy("doc_id")
+    docsNarrow(spark, dir).select(col("doc_id"), sh(col("text")).as("simhash")).orderBy("doc_id")
   }
 
   /** Document fingerprint: min shingle hash (winnowing-lite) — content id
     * stable under small edits at the tail. */
   def q21Fingerprint(spark: SparkSession, dir: String): DataFrame = {
     val fp = udf((text: String) => shingleHashes(text).min)
-    docs(spark, dir).select(col("doc_id"), fp(col("text")).as("fp")).orderBy("doc_id")
+    docsNarrow(spark, dir).select(col("doc_id"), fp(col("text")).as("fp")).orderBy("doc_id")
   }
 
   // ---------------- embeddings / ANN ----------------
@@ -1133,11 +1154,14 @@ object Queries {
 
   /** Deterministic synthetic image+caption table; row count fixed per query
     * so outputs are reproducible (rows-only driver check — phash depends on
-    * pixels, not SQL-expressible). */
+    * pixels, not SQL-expressible). No fan-out exchange: spark.range already
+    * yields defaultParallelism BALANCED contiguous partitions, so the former
+    * repartition redistributed an already-balanced input — a by-value no-op
+    * that cost a full shuffle stage per materialization (measured ~0.35 s at
+    * bench scale, bench.RepartProbe3; same for the video/audio tables). */
   def imageTable(spark: SparkSession, n: Long): org.apache.spark.sql.Dataset[ImageRow] = {
     import spark.implicits._
-    spark.range(n).repartition(spark.sparkContext.defaultParallelism)
-      .map(r => Images.generate(r))
+    spark.range(n).map(r => Images.generate(r))
   }
 
   val IMG_N = 2000L
@@ -1324,8 +1348,8 @@ object Queries {
 
   def videoTable(spark: SparkSession, n: Long): org.apache.spark.sql.Dataset[VideoRow] = {
     import spark.implicits._
-    spark.range(n).repartition(spark.sparkContext.defaultParallelism)
-      .map(r => Videos.generate(r))
+    // range partitions are already balanced — see imageTable
+    spark.range(n).map(r => Videos.generate(r))
   }
 
   /** Frame-sample over the synthetic video table under the driver HASH
@@ -1357,8 +1381,9 @@ object Queries {
     * frame dropped). */
   def videoNearDupTable(spark: SparkSession, n: Long): org.apache.spark.sql.Dataset[VideoRow] = {
     import spark.implicits._
+    // every range partition keeps ~1/5 of its contiguous ids, so the
+    // filtered input stays balanced without a fan-out exchange
     val twins = spark.range(n).filter(col("id") % 5 === 0)
-      .repartition(spark.sparkContext.defaultParallelism)
       .as[Long].map(i => Videos.twin(Videos.generate(i), i))
     videoTable(spark, n).unionByName(twins)
   }
@@ -1423,8 +1448,8 @@ object Queries {
 
   def audioTable(spark: SparkSession, n: Long): org.apache.spark.sql.Dataset[AudioRow] = {
     import spark.implicits._
-    spark.range(n).repartition(spark.sparkContext.defaultParallelism)
-      .map(r => Audio.generate(r))
+    // range partitions are already balanced — see imageTable
+    spark.range(n).map(r => Audio.generate(r))
   }
 
   /** Audio feature extraction under the driver HASH gate: each row's REAL
@@ -1996,7 +2021,7 @@ object Queries {
     * row — so an off-by-one in the overflow rule, a reset missed at a
     * shard boundary, or a partition that split a shard all hash-fail. */
   def q65Packing(spark: SparkSession, dir: String): DataFrame = {
-    val base = docs(spark, dir).select(
+    val base = docsNarrow(spark, dir).select(
       col("doc_id"),
       (col("doc_id") % 8).as("shard"),
       (col("n_chars") % 90 + 10).as("tok"))
@@ -2014,7 +2039,7 @@ object Queries {
     * BOTH engines select the exact same rows AND the exact same copy
     * counts (no rand(), no partition dependence). */
   def q66Mixing(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir).select(col("doc_id"), col("source"))
+    val d = docsNarrow(spark, dir).select(col("doc_id"), col("source"))
       .withColumn("weight_milli",
         expr("CAST(substr(source, 4) AS BIGINT)") % 8 * 375)
     graft.ops.Sampling.weightedExplode(d, "doc_id", col("weight_milli"))
@@ -2101,7 +2126,7 @@ object Queries {
     * integer counts. Row-local, zero-shuffle — the q14 scale shape. */
   def q71BpeTokens(spark: SparkSession, dir: String): DataFrame = {
     val t = concat(col("text"), lit(" v"), col("doc_id").cast("string"), lit("!?."))
-    docs(spark, dir).select(
+    docsNarrow(spark, dir).select(
       col("doc_id"),
       size(regexp_extract_all(t, lit("[A-Za-z]+"), lit(0))).as("n_alpha_runs"),
       size(regexp_extract_all(t, lit("[0-9]"), lit(0))).as("n_digit_tokens"),
@@ -2119,7 +2144,7 @@ object Queries {
     * `row_number` (the definition) over the mirrored mix, so a heap
     * bug, a dropped tie, or a partial-merge ordering error hash-fails. */
   def q72SamplePerDomain(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir).select(col("doc_id"), col("source"))
+    val d = docsNarrow(spark, dir).select(col("doc_id"), col("source"))
     graft.ops.TopK.topKByKey(d, Seq("source"), "doc_id",
       graft.ops.Sampling.mix32(col("doc_id")), k = 3)
       .orderBy("source", "rank")
@@ -2169,7 +2194,7 @@ object Queries {
   def q74NormDedup(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val id = col("doc_id")
-    val base = docs(spark, dir).select(id, col("text"))
+    val base = docsNarrow(spark, dir).select(id, col("text"))
     val noisy = base.select(
       id,
       concat(lit("  "), upper(col("text")), lit(" "),
@@ -2207,7 +2232,7 @@ object Queries {
       lit(" ref https://deploy@Www.mirror"), (id % 2).cast("string"),
       lit(".example-"), (id % 3).cast("string"), lit(".com./z"))
     graft.ops.Urls.domainStats(
-      docs(spark, dir).select(id, t.as("url_text")),
+      docsNarrow(spark, dir).select(id, t.as("url_text")),
       "doc_id", "url_text")
       .orderBy("apex")
   }
@@ -2289,7 +2314,7 @@ object Queries {
       lit(" ip http://10.0.0."), (id % 9).cast("string"), lit("/q"),
       lit(" de https://site"), (id % 4).cast("string"), lit(".de/"))
     graft.ops.Urls.domainStats(
-      docs(spark, dir).select(id, t.as("url_text")),
+      docsNarrow(spark, dir).select(id, t.as("url_text")),
       "doc_id", "url_text", graft.ops.Urls.apexPsl(_))
       .orderBy("apex")
   }
@@ -2302,7 +2327,7 @@ object Queries {
     * sizes. Oracle re-renders the mix constant-for-constant
     * (the q66 pattern) and the same cumulative CASE. */
   def q83HashSplit(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir).select(col("doc_id"), col("source"))
+    val d = docsNarrow(spark, dir).select(col("doc_id"), col("source"))
     graft.ops.Sampling.hashSplit(d, "doc_id",
         Seq("train" -> 900, "val" -> 50, "test" -> 50))
       .orderBy("doc_id")
@@ -2391,7 +2416,7 @@ object Queries {
   def q82QualityFloor(spark: SparkSession, dir: String): DataFrame = {
     // checkpointed: the quantile operator runs one bounded job per
     // bisection level over its input — don't re-run the regex scan per level
-    val scored = docs(spark, dir).select(col("doc_id"), col("text"))
+    val scored = docsNarrow(spark, dir).select(col("doc_id"), col("text"))
       .withColumn("score", expr(
         "length(regexp_replace(text, '[^A-Za-z]', '')) * 10000L" +
           " div greatest(length(text), 1)"))
