@@ -91,12 +91,18 @@ object Queries {
     * as the ghCol2 encode mirror. */
   def q03GhChildren(spark: SparkSession, dir: String): DataFrame = {
     val suffixes = "0123456789bcdefghjkmnpqrstuvwxyz".map(c => lit(c.toString))
+    // sort BEFORE the ×32 explode: the range exchange moves the distinct
+    // parents (n rows), not the children (32n). The output order is
+    // unchanged — children share their parent's prefix and the suffix
+    // array is ascending, and explode/project are order-preserving narrow
+    // ops over the range-partitioned sort — so (gh, child) ascending holds
+    // globally, as the former trailing orderBy("gh", "child") produced.
     ptsNarrow(spark, dir)
       .withColumn("gh", ghCol2(3)(lonIdxCol(3), latIdxCol(3)))
       .select("gh").distinct()
+      .orderBy("gh")
       .withColumn("c", explode(array(suffixes: _*)))
       .select(col("gh"), concat(col("gh"), col("c")).as("child"))
-      .orderBy("gh", "child")
   }
 
   /** gh neighbors via the table-based adjacency (reference `gh neighbors`);
