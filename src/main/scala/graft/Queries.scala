@@ -27,14 +27,32 @@ object Queries {
   // — and at 100 TB that repartition is a full-table shuffle ahead of a
   // map, pure waste at every scale for cheap kernels.
   def pts(spark: SparkSession, dir: String): DataFrame =
-    ptsFrom(spark.read.parquet(s"$dir/events.parquet")
+    ptsFrom(tbl(spark, dir, "events.parquet")
       .repartition(spark.sparkContext.defaultParallelism))
 
   /** As [[pts]] without the fan-out exchange — for column-native/cheap
     * per-row consumers where the repartition costs more than the compute
     * it would parallelize (at any scale). */
   def ptsNarrow(spark: SparkSession, dir: String): DataFrame =
-    ptsFrom(spark.read.parquet(s"$dir/events.parquet"))
+    ptsFrom(tbl(spark, dir, "events.parquet"))
+
+  /** Resolved-relation memo, one per (session, dir, file): a bare
+    * `spark.read.parquet(path)` re-resolves the datasource EVERY call —
+    * file listing + parquet footer schema read — a measured ~0.11 s of
+    * driver time per call at bench scale (PlanFloor probes; it is the
+    * dominant share of the cheap queries' planning floor, re-paid on
+    * every rep because Bench times construction). The memo holds only the
+    * RESOLVED RELATION (schema + file index) — no rows, no results: every
+    * execution still scans the parquet files. Session-scoped like
+    * sigCache/embCache (the bench's documented steady-state contract),
+    * keyed by dir so different SFs never mix. At production scale this is
+    * the same reason catalogs/table formats hold resolved metadata —
+    * re-listing a large table per query is pure driver cost (guide §6). */
+  private val relCache = new SessionCache[DataFrame](64, _ => ())
+  private[graft] def tbl(spark: SparkSession, dir: String, file: String): DataFrame =
+    relCache.getOrElseUpdate(
+      s"${org.apache.spark.sql.graft.bridge.sessionUUID(spark)}|$dir|$file",
+      spark.read.parquet(s"$dir/$file"))
 
   private def ptsFrom(raw: DataFrame): DataFrame =
     raw.select(
@@ -72,7 +90,7 @@ object Queries {
 
   /** Canary: plain agg with exact double sums (l_quantity is integral). */
   def q01Agg(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/lineitem.parquet")
+    tbl(spark, dir, "lineitem.parquet")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag", "l_linestatus")
@@ -217,7 +235,7 @@ object Queries {
   // ---------------- text / training-data pipeline ----------------
 
   def docs(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    tbl(spark, dir, "documents.parquet")
       .repartition(spark.sparkContext.defaultParallelism)
 
   /** As [[docs]] without the fan-out exchange — same rule as
@@ -226,7 +244,7 @@ object Queries {
     * heavy per-doc kernels (BPE, redaction regex chains, fingerprints
     * feeding banded joins) keep the fan-out. */
   def docsNarrow(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    tbl(spark, dir, "documents.parquet")
 
   /** Whitespace token counting. */
   def q14TokenCount(spark: SparkSession, dir: String): DataFrame =
@@ -592,7 +610,7 @@ object Queries {
     * the first 20 vectors; sequential left-fold dot product so the oracle's
     * list_dot_product matches bitwise. */
   def q22AnnTopk(spark: SparkSession, dir: String): DataFrame = {
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emb = tbl(spark, dir, "embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val queries = emb.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
@@ -699,7 +717,7 @@ object Queries {
   def q50EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
     val (all, sigs) = embCache.getOrElseUpdate(
       s"${org.apache.spark.sql.graft.bridge.sessionUUID(spark)}|$dir", {
-        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        val emb = tbl(spark, dir, "embeddings.parquet")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         val scaled = emb.filter(col("vec_id") % 7 === 0)
           .select((col("vec_id") + EMB_OFFSET).as("vec_id"),
@@ -747,7 +765,7 @@ object Queries {
   /** Deterministic query boxes derived from nation keys (exact integer →
     * double math, mirrored in the oracle). */
   def nationBoxes(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/nation.parquet").select(
+    tbl(spark, dir, "nation.parquet").select(
       col("n_nationkey").cast("long").as("rid"),
       (lit(-180.0) + (col("n_nationkey") * 67 % 300).cast("double")).as("minx"),
       (lit(-90.0) + (col("n_nationkey") * 37 % 150).cast("double")).as("miny"),
@@ -821,7 +839,7 @@ object Queries {
     * where a SMALL geofence radius against a fixed 620 km candidate grid
     * would put every point and every query in the same one or two cells. */
   def clusteredPts(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/events.parquet")
+    tbl(spark, dir, "events.parquet")
       .repartition(spark.sparkContext.defaultParallelism)
       .select(
         col("event_id").as("id"),
@@ -853,7 +871,7 @@ object Queries {
     * 0.0625–0.1875° × 0.046875–0.109375°: the regime where a fixed 64×64
     * world grid (620 km cells) collapses the whole cluster into 1-2 cells. */
   def clusterBoxes(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/nation.parquet").select(
+    tbl(spark, dir, "nation.parquet").select(
       col("n_nationkey").cast("long").as("rid"),
       (lit(2.0) * ((col("n_nationkey") * 67 % 128).cast("double") / lit(128.0))).as("minx"),
       (lit(2.0) * ((col("n_nationkey") * 37 % 128).cast("double") / lit(128.0))).as("miny"),
@@ -980,7 +998,7 @@ object Queries {
     * implementations of the semantics must agree row-for-row.
     * (user_id, ts) is distinct at every tier — no tie ambiguity. */
   def q58AsofJoin(spark: SparkSession, dir: String): DataFrame = {
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = tbl(spark, dir, "events.parquet")
       .select(col("event_id"), col("user_id"), col("ts"))
     val updates = ev.filter(col("event_id") % 13 === 0)
       .select(col("user_id"), col("ts").as("uts"), col("event_id").as("update_id"))
@@ -1001,11 +1019,11 @@ object Queries {
     val hour = 3600000000L
     val startH = col("n_nationkey") * 29 % 720
     val lenH = (col("n_nationkey") % 7 + 1) * 3
-    val ivs = spark.read.parquet(s"$dir/nation.parquet").select(
+    val ivs = tbl(spark, dir, "nation.parquet").select(
       col("n_nationkey").cast("long").as("rid"),
       timestamp_micros(lit(base) + startH.cast("long") * hour).as("start"),
       timestamp_micros(lit(base) + (startH + lenH).cast("long") * hour).as("end"))
-    val pts = spark.read.parquet(s"$dir/events.parquet")
+    val pts = tbl(spark, dir, "events.parquet")
       .select(col("event_id").as("id"), col("ts").as("t"))
     graft.join.IntervalJoin.joinPointsInIntervals(pts, ivs)
       .orderBy("id", "rid")
@@ -1021,7 +1039,7 @@ object Queries {
     * against planted true cardinalities in KernelSpec instead. */
   def q60HllSketch(spark: SparkSession, dir: String): DataFrame = {
     val hll = udaf(new graft.functions.HllAggregator, org.apache.spark.sql.Encoders.scalaLong)
-    val regsRow = spark.read.parquet(s"$dir/events.parquet")
+    val regsRow = tbl(spark, dir, "events.parquet")
       .select((col("event_id") * 37 % 1048576).as("v"))
       .agg(hll(col("v")).as("regs"))
     val toArr = udf((b: Array[Byte]) => b.map(x => x & 0xFF))
@@ -1575,7 +1593,7 @@ object Queries {
       val kept = simp.getCoordinates
       (kept.length.toLong, kept.map(c => c.x.toLong * 1000000L + c.y.toLong).sum)
     })
-    spark.read.parquet(s"$dir/events.parquet")
+    tbl(spark, dir, "events.parquet")
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("event_id").as("id"))
       .withColumn("r", run(col("id")))
@@ -1593,7 +1611,7 @@ object Queries {
     * of a full scan. */
   def q33AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emb = tbl(spark, dir, "embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val cents = emb.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
@@ -1681,7 +1699,7 @@ object Queries {
   /** Tumbling 1-hour windows per event type (batch twin of the streaming
     * path; exact aggregates only — count/min/max). */
   def q23WindowCounts(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/events.parquet")
+    tbl(spark, dir, "events.parquet")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), min("value").as("min_v"), max("value").as("max_v"))
       .select(unix_timestamp(col("w.start")).as("win_start"), col("event_type"),
@@ -1692,7 +1710,7 @@ object Queries {
   def q24Sessions(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    spark.read.parquet(s"$dir/events.parquet")
+    tbl(spark, dir, "events.parquet")
       .withColumn("prev_ts", lag("ts", 1).over(w))
       .withColumn("new_sess",
         when(col("prev_ts").isNull ||
@@ -1709,7 +1727,7 @@ object Queries {
   /** Deterministic valid H3 cells (pure integer construction shared
     * verbatim with the oracle — OracleSql.H3_CELL_EXPR). */
   private def h3Cells(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/events.parquet")
+    tbl(spark, dir, "events.parquet")
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("event_id").as("id"),
         expr(OracleSql.H3_CELL_EXPR).as("cell"),
@@ -1825,7 +1843,7 @@ object Queries {
       val compactOk = H3Cover.compact(kids.toSet) == Set(cell)
       (nNeighbors, nDisk, kids.size, rtOk, nVerts, compactOk)
     })
-    spark.read.parquet(s"$dir/events.parquet")
+    tbl(spark, dir, "events.parquet")
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("event_id").as("id"),
         expr(OracleSql.H3_PENT_CELL_EXPR).as("cell"),
@@ -1927,7 +1945,7 @@ object Queries {
       Geo.featureJsonString(
         Geo.point(((id % 360) - 180).toDouble, ((id % 180) - 90).toDouble),
         graft.geom.JObject.empty))
-    spark.read.parquet(s"$dir/events.parquet")
+    tbl(spark, dir, "events.parquet")
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("event_id").as("id"))
       .withColumn("grp", col("id") % 97)
@@ -2066,7 +2084,7 @@ object Queries {
     * joined at the target ranks — if any level miscounts a bucket, the
     * resolved value names a different element and hash-fails. */
   def q67Quantiles(spark: SparkSession, dir: String): DataFrame = {
-    val v = spark.read.parquet(s"$dir/events.parquet")
+    val v = tbl(spark, dir, "events.parquet")
       .select((col("event_id") * 2654435761L % 100000000L - 50000000L).as("v"))
     graft.ops.Quantiles.exactQuantiles(v, "v",
       Seq((1L, 100L), (1L, 4L), (1L, 2L), (3L, 4L), (99L, 100L), (1L, 1L)))
@@ -2086,7 +2104,7 @@ object Queries {
   def q68Bloom(spark: SparkSession, dir: String): DataFrame = {
     val bloom = udaf(new graft.functions.BloomAggregator,
       org.apache.spark.sql.Encoders.scalaLong)
-    val row = spark.read.parquet(s"$dir/events.parquet")
+    val row = tbl(spark, dir, "events.parquet")
       .select((col("event_id") * 37 % 4096).as("v"))
       .agg(bloom(col("v")).as("words"))
     row.select(posexplode(col("words")))
@@ -2380,7 +2398,7 @@ object Queries {
     * divergence in the update rule, tie policy, or quantization
     * hash-fails the assignment table. */
   def q87Kmeans(spark: SparkSession, dir: String): DataFrame = {
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emb = tbl(spark, dir, "embeddings.parquet")
       .repartition(spark.sparkContext.defaultParallelism)
     graft.ops.KMeans.fit(emb, "vec_id", "embedding", k = 8, iters = 3)
       .orderBy("vec_id")

@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions._
 
 /** Column-native (whole-stage-codegen'd) encoders for the hot key paths.
   * These compose only built-in functions — no UDF boxing — and are pinned
@@ -9,25 +8,16 @@ import org.apache.spark.sql.functions._
   */
 object GeoCols {
 
-  private val BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
-
-  /** Geohash string from pre-quantized cell indices — the column mirror of
-    * `Geohash.fromIndices` (bit-interleave starting with the lon MSB, 5
-    * bits per base32 char). Built-ins only: shifts, masks, substr, concat. */
+  /** Geohash string from pre-quantized cell indices — a single native
+    * codegen'd [[GeohashExpr]] node calling `Geohash.fromIndices` (the
+    * kernel). Replaced the composed-builtin mirror (5 shifts/masks/ors +
+    * substr per char + concat — ~40·len expression nodes) whose tree made
+    * Catalyst planning a measured 20–30% of the q02–q05 bench wall; the
+    * differential spec now pins the codegen call path to the direct
+    * kernel call. */
   def ghCol(lonIdx: Column, latIdx: Column, len: Int): Column = {
-    val nBits = 5 * len
-    val lonBits = (nBits + 1) / 2
-    val latBits = nBits / 2
-    val chars = (0 until len).map { i =>
-      val code = (0 until 5).map { k =>
-        val j = 5 * i + k
-        val src =
-          if (j % 2 == 0) shiftright(lonIdx, lonBits - 1 - j / 2)
-          else shiftright(latIdx, latBits - 1 - (j - 1) / 2)
-        shiftleft(src.bitwiseAND(lit(1L)), 4 - k)
-      }.reduce(_ bitwiseOR _)
-      lit(BASE32).substr((code + lit(1)).cast("int"), lit(1))
-    }
-    concat(chars: _*)
+    import org.apache.spark.sql.graft.bridge
+    bridge.column(GeohashExpr(
+      bridge.expression(lonIdx.cast("long")), bridge.expression(latIdx.cast("long")), len))
   }
 }
