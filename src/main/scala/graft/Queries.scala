@@ -1298,7 +1298,12 @@ object Queries {
         anchorsWritten = true
       }
     }
-    spark.read.parquet(ANCHORS_PATH)
+    // same resolved-relation memo as [[tbl]]: the anchor table is
+    // published once and immutable, so re-resolving it per query
+    // construction (q27/q29, every bench rep) was pure driver cost
+    relCache.getOrElseUpdate(
+      s"${org.apache.spark.sql.graft.bridge.sessionUUID(spark)}|$ANCHORS_PATH",
+      spark.read.parquet(ANCHORS_PATH))
   }
 
   /** Tile assignment of images by phash-derived anchor → per-tile counts
