@@ -736,10 +736,15 @@ object Queries {
         val a = emb.unionByName(scaled).cache()
         (a, a.select(col("vec_id"), embSigUdf(col("v")).as("sig")).cache())
       })
-    val bands = Seq(0, 1).map { b =>
-      sigs.select(col("vec_id"), lit(b).as("band"),
-        shiftright(col("sig"), b * 8).bitwiseAND(lit(255L)).as("bkey"))
-    }.reduce(_ unionByName _)
+    // one explode pass, not a per-band union (the SimilarityJoin finding:
+    // a union multiplies the cached table's partitions by the band count
+    // on both join sides — task-launch overhead, same rows either way)
+    val bands = sigs
+      .withColumn("band", explode(array(lit(0), lit(1))))
+      .select(col("vec_id"), col("band"),
+        when(col("band") === 0, shiftright(col("sig"), 0))
+          .when(col("band") === 1, shiftright(col("sig"), 8))
+          .bitwiseAND(lit(255L)).as("bkey"))
     // candidate-count observability (plane-scheme changes move the band
     // keys, hence this count — a silent cost lever the round-5 stride fix
     // pulled by accident, +130% measured): CollectMetrics rides the

@@ -76,10 +76,20 @@ object SimilarityJoin {
     // smoke) — twice, by id_a then id_b; carried words let the exact
     // refine run map-side in the same stage as the band equi-join, so the
     // candidate table is never exchanged at all.
-    val banded = (0 until nBands).map { b =>
-      s.select((col("id") +: lit(b).as("band") +: bandKey(b).as("bkey") +:
+    // Band rows via ONE explode pass (the HammingJoinRewrite shape), not
+    // an nBands-way union: the union multiplied the checkpoint's
+    // partitions by nBands on BOTH join sides (8 bands × 32 partitions =
+    // 256 probe tasks + 256 broadcast-build tasks of ~600 rows each at
+    // sf0.1 — measured as the dominant share of q86's join stage, pure
+    // task-launch overhead). Same rows, same candidates; one scan.
+    val bkeyCase = (1 until nBands).foldLeft(
+      when(col("band") === 0, bandKey(0))) { (acc, b) =>
+      acc.when(col("band") === b, bandKey(b))
+    }
+    val banded = s
+      .withColumn("band", explode(array((0 until nBands).map(lit): _*)))
+      .select((col("id") +: col("band") +: bkeyCase.as("bkey") +:
         simCols.map(col)): _*)
-    }.reduce(_ unionByName _)
     // no explicit repartition here: at gate scale the planner broadcasts
     // one banded side (BHJ — zero exchanges), and the probe side inherits
     // the checkpoint's parallel partitions, so the candidate enumeration +
