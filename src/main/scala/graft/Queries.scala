@@ -471,13 +471,17 @@ object Queries {
     // n_agree is functionally determined by the pair, so the post-count
     // Distinct yields the identical unique-pair result.
     val mcols = (0 until 8).map(i => s"m$i")
-    val bands = (0 until 2).map { b =>
-      sigs.select((col("doc_id") +:
-        lit(b).as("band") +:
-        concat_ws(":", col(s"m${4 * b}"), col(s"m${4 * b + 1}"),
-          col(s"m${4 * b + 2}"), col(s"m${4 * b + 3}")).as("bkey") +:
+    // one explode pass, not a per-band union (the SimilarityJoin finding:
+    // a union multiplies the cached table's partitions by the band count
+    // on both join sides — task-launch overhead, same rows either way)
+    def bandConcat(b: Int) = concat_ws(":", col(s"m${4 * b}"),
+      col(s"m${4 * b + 1}"), col(s"m${4 * b + 2}"), col(s"m${4 * b + 3}"))
+    val bands = sigs
+      .withColumn("band", explode(array(lit(0), lit(1))))
+      .select((col("doc_id") +: col("band") +:
+        when(col("band") === 0, bandConcat(0))
+          .when(col("band") === 1, bandConcat(1)).as("bkey") +:
         mcols.map(col)): _*)
-    }.reduce(_ union _)
     val agree = (0 until 8).map(i =>
       when(col(s"a.m$i") === col(s"b.m$i"), 1).otherwise(0)).reduce(_ + _)
     bands.as("a").join(bands.as("b"),
